@@ -1,0 +1,63 @@
+"""String-named code registry.
+
+The reference registers codec families under slash-separated name strings
+resolved by its CLI ("ldpc/<variant>/<iters>/<matrix>", SURVEY.md §2.1 R1,
+R11). Here codes and decoders are selected the same way; this module maps
+code-name strings to CodeSpec constructors. Decoder specs are parsed in
+cli/spec.py.
+
+Examples:
+  mackay1008                      shipped (3,6) n=1008 code
+  gallager/2048/3/6/s0            (3,6)-regular n=2048, seed 0
+  alist:/path/to/code.alist       load from file
+  80211n/648/12                   802.11n n=648 rate 1/2  (rate as "12" etc.)
+  wimax/1152/23A                  WiMAX n=1152 rate 2/3A
+  dvbs2/64800/12                  DVB-S2 normal frame rate 1/2
+  nr5g/bg1/208/3168               5G NR BG1, Zc=208, k=3168-style spec
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from .spec import CodeSpec
+
+_REGISTRY: Dict[str, Callable[..., CodeSpec]] = {}
+
+
+def register(name: str, fn: Callable[..., CodeSpec]) -> None:
+    _REGISTRY[name] = fn
+
+
+def list_codes():
+    return sorted(_REGISTRY)
+
+
+def get_code(spec_str: str) -> CodeSpec:
+    """Resolve a compact code-spec string to a CodeSpec."""
+    if spec_str.startswith("alist:"):
+        from .alist import load_alist
+
+        return load_alist(spec_str[len("alist:"):])
+    parts = spec_str.split("/")
+    head, args = parts[0], parts[1:]
+    if head not in _REGISTRY:
+        raise KeyError(f"unknown code {head!r}; known: {list_codes()}")
+    return _REGISTRY[head](*args)
+
+
+def _register_builtins() -> None:
+    from . import dvbs2, gallager, ieee80211n, mackay, nr5g, wimax
+
+    register("mackay1008", lambda: mackay.mackay_1008())
+
+    def _gallager(n, j="3", k="6", seed="s0"):
+        return gallager.gallager_regular(int(n), int(j), int(k), seed=int(seed.lstrip("s")))
+
+    register("gallager", _gallager)
+    register("80211n", lambda n, rate: ieee80211n.ieee80211n(int(n), rate))
+    register("wimax", lambda n, rate: wimax.wimax(int(n), rate))
+    register("dvbs2", lambda n, rate: dvbs2.dvbs2(int(n), rate))
+    register("nr5g", lambda bg, zc, k=None: nr5g.nr5g(bg, int(zc), None if k is None else int(k)))
+
+
+_register_builtins()

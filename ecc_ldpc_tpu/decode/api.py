@@ -1,0 +1,136 @@
+"""Decoder construction + compact decoder-spec strings.
+
+The reference selects decoder variants with slash-separated strings inside
+its code specs ("ldpc/<variant>/<iters>/<matrix>", SURVEY.md §2.1 R11). The
+equivalent here is a decoder-spec string, e.g.:
+
+  spa/25                    flooding sum-product, 25 iters
+  minsum/25                 plain min-sum
+  minsum/norm:0.8125/25     normalized min-sum, alpha=0.8125
+  minsum/offset:0.15/25     offset min-sum, beta=0.15
+  layered/norm:0.8125/25    layered schedule (QC codes; later milestone)
+
+Suffix flags: append '/noet' to disable syndrome early termination (the
+fixed-iteration benchmark mode), '/pallas' to select the native kernel tier.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+
+from ..graph.compile import CompiledGraph
+from .types import DecodeResult
+from .xla.cn_ops import cn_minsum, cn_spa
+from .xla.flooding import decode_flooding
+
+
+def make_decoder(
+    graph: CompiledGraph,
+    kind: str = "minsum",
+    *,
+    alpha: float = 1.0,
+    beta: float = 0.0,
+    max_iters: int = 25,
+    early_term: bool = True,
+    backend: str = "xla",
+    jit: bool = True,
+) -> Callable[[jax.Array], DecodeResult]:
+    """Build `decode(llr[B, n]) -> DecodeResult` for one graph."""
+    if backend == "pallas":
+        from .pallas.loop import make_pallas_decoder
+
+        return make_pallas_decoder(
+            graph, kind, alpha=alpha, beta=beta, max_iters=max_iters,
+            early_term=early_term, jit=jit,
+        )
+    if backend == "auto":
+        # On TPU the gather-form flooding decoder is off-limits (the platform
+        # compiler crashes on gather->reduce->gather; see dense_mm.py) — use
+        # the MXU incidence-matmul form when the code is small enough.
+        from . import xla as _  # noqa: F401  (keep import side effects local)
+
+        on_tpu = jax.default_backend() == "tpu"
+        if on_tpu:
+            from .xla import dense_mm
+
+            if kind in ("spa", "minsum") and dense_mm.supports(graph):
+                backend = "xla-mm"
+            else:
+                backend = "pallas"
+        else:
+            backend = "xla"
+        return make_decoder(
+            graph, kind, alpha=alpha, beta=beta, max_iters=max_iters,
+            early_term=early_term, backend=backend, jit=jit,
+        )
+    if backend == "xla-mm":
+        from .xla import dense_mm
+        from .xla.cn_ops import get_cn_op
+
+        if kind == "spa":
+            cn_op = cn_spa
+        elif kind == "minsum":
+            cn_op = functools.partial(cn_minsum, alpha=alpha, beta=beta)
+        else:
+            raise KeyError(f"xla-mm backend supports spa/minsum, not {kind!r}")
+        ops = dense_mm.IncidenceOperators.build(graph)
+
+        def decode_mm(llr):
+            return dense_mm.decode_flooding_mm(
+                graph, ops, llr, cn_op=cn_op, max_iters=max_iters,
+                early_term=early_term,
+            )
+
+        return jax.jit(decode_mm) if jit else decode_mm
+    if backend != "xla":
+        raise KeyError(f"unknown backend {backend!r}")
+
+    if kind == "spa":
+        cn_op = cn_spa
+    elif kind == "minsum":
+        cn_op = functools.partial(cn_minsum, alpha=alpha, beta=beta)
+    elif kind == "layered":
+        from .xla.layered import make_layered_decoder
+
+        return make_layered_decoder(
+            graph, alpha=alpha, beta=beta, max_iters=max_iters,
+            early_term=early_term, jit=jit,
+        )
+    else:
+        raise KeyError(f"unknown decoder kind {kind!r}")
+
+    def decode(llr):
+        return decode_flooding(
+            graph, llr, cn_op=cn_op, max_iters=max_iters, early_term=early_term
+        )
+
+    return jax.jit(decode) if jit else decode
+
+
+def parse_decoder_spec(spec: str) -> dict:
+    """Parse a compact decoder-spec string into make_decoder kwargs."""
+    parts = spec.split("/")
+    kind = parts[0]
+    kw: dict = {"kind": kind}
+    for p in parts[1:]:
+        if p.startswith("norm:"):
+            kw["alpha"] = float(p[5:])
+        elif p.startswith("offset:"):
+            kw["beta"] = float(p[7:])
+        elif p == "noet":
+            kw["early_term"] = False
+        elif p in ("pallas", "xla"):
+            kw["backend"] = p
+        elif p.isdigit():
+            kw["max_iters"] = int(p)
+        else:
+            raise ValueError(f"bad decoder-spec component {p!r} in {spec!r}")
+    return kw
+
+
+def get_decoder(graph: CompiledGraph, spec: str, **overrides):
+    kw = parse_decoder_spec(spec)
+    kw.update(overrides)
+    return make_decoder(graph, **kw)
