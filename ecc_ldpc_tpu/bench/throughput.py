@@ -1,0 +1,142 @@
+"""Decoded-throughput benchmark: Mbit/s/chip at fixed-iteration min-sum.
+
+The primary metric (BASELINE.json:2): decoded Mbit/s per chip, min-sum, 25
+iterations. Methodology follows the retrieved pjit micro-benchmark pattern
+(SNIPPETS.md:109-121): compile/warm-up call first, then timed runs with
+block_until_ready, median-of-tries. The roofline check from SURVEY.md §6 is
+computed alongside: bytes of edge traffic per iteration vs HBM bandwidth
+gives the memory-bound speed-of-light for comparison.
+
+vs_baseline convention: the reference publishes no numbers
+(BASELINE.json:13 "published": {}), so vs_baseline reports the fraction of
+the north-star target — 1 Gbit/s/chip (BASELINE.json:5).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NORTH_STAR_MBPS = 1000.0
+
+# TPU v5e: ~819 GB/s HBM bandwidth (public spec) — used for the roofline
+# estimate only; harmless if the actual part differs.
+HBM_GBPS = 819.0
+
+
+@dataclasses.dataclass
+class BenchResult:
+    throughput_mbps: float
+    code: str
+    decoder: str
+    batch: int
+    iters: int
+    k: int
+    n: int
+    num_edges: int
+    wall_s_per_batch: float
+    mean_iters: float
+    roofline_mbps: float
+    device: str
+
+    def json_line(self) -> str:
+        return json.dumps(
+            {
+                "metric": "decoded_throughput",
+                "value": round(self.throughput_mbps, 3),
+                "unit": "Mbit/s/chip",
+                "vs_baseline": round(self.throughput_mbps / NORTH_STAR_MBPS, 4),
+                "code": self.code,
+                "decoder": self.decoder,
+                "batch": self.batch,
+                "iters": self.iters,
+                "k_bits_per_frame": self.k,
+                "wall_s_per_batch": round(self.wall_s_per_batch, 6),
+                "roofline_mbps": round(self.roofline_mbps, 1),
+                "device": self.device,
+            }
+        )
+
+
+def roofline_mbps(num_edges: int, k: int, iters: int, msg_bytes: int = 4) -> float:
+    """Memory-bound speed-of-light if messages round-trip HBM every
+    iteration: per frame per iter ~ 4 touches of E messages (CN read+write,
+    VN read+write). SURVEY.md §6 shows the 1 Gbit/s target requires beating
+    this via VMEM residency — the fused-kernel headroom this number bounds."""
+    bytes_per_frame = 4.0 * num_edges * msg_bytes * iters
+    frames_per_s = HBM_GBPS * 1e9 / bytes_per_frame
+    return frames_per_s * k / 1e6
+
+
+def time_fn(f, *args, tries: int = 5):
+    """Warm-up + median-of-tries timing (SNIPPETS.md simple_timeit pattern)."""
+    jax.block_until_ready(f(*args))
+    outcomes = []
+    for _ in range(tries):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(*args))
+        outcomes.append(time.perf_counter() - t0)
+    return float(np.median(outcomes))
+
+
+def run_benchmark(
+    code: str = "mackay1008",
+    decoder: str = "minsum/norm:0.8125/25/noet",
+    batch: int = 1024,
+    ebn0_db: float = 2.5,
+    tries: int = 5,
+    backend: Optional[str] = None,
+    profile_dir: Optional[str] = None,
+) -> BenchResult:
+    from ..chan import awgn_llr
+    from ..codes import get_code
+    from ..decode import get_decoder
+    from ..decode.api import parse_decoder_spec
+    from ..encode import DenseEncoder
+    from ..graph import compile_graph
+
+    spec = get_code(code)
+    graph = compile_graph(spec)
+    overrides = {"backend": backend} if backend else {"backend": "auto"}
+    dec = get_decoder(graph, decoder, **overrides)
+    iters = parse_decoder_spec(decoder).get("max_iters", 25)
+
+    # Realistic operating-point LLRs (the metric decodes real noisy frames).
+    enc = DenseEncoder.build(spec) if spec.n <= 8192 else None
+    key = jax.random.key(0)
+    if enc is not None:
+        msg = jax.random.bernoulli(key, 0.5, (batch, spec.k)).astype(jnp.uint8)
+        cw = enc(msg)
+    else:
+        cw = jnp.zeros((batch, spec.n), jnp.uint8)  # all-zero codeword
+    llr = awgn_llr(jax.random.fold_in(key, 1), cw, ebn0_db, spec.rate)
+
+    if profile_dir:
+        jax.block_until_ready(dec(llr))  # compile outside the trace
+        jax.profiler.start_trace(profile_dir)
+    wall = time_fn(dec, llr, tries=tries)
+    if profile_dir:
+        jax.profiler.stop_trace()
+
+    res = dec(llr)
+    mean_iters = float(jnp.mean(res.iterations))
+    mbps = batch * spec.k / wall / 1e6
+    return BenchResult(
+        throughput_mbps=mbps,
+        code=code,
+        decoder=decoder,
+        batch=batch,
+        iters=iters,
+        k=spec.k,
+        n=spec.n,
+        num_edges=spec.num_edges,
+        wall_s_per_batch=wall,
+        mean_iters=mean_iters,
+        roofline_mbps=roofline_mbps(spec.num_edges, spec.k, iters),
+        device=jax.devices()[0].platform,
+    )

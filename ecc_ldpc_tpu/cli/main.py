@@ -1,0 +1,134 @@
+"""CLI driver — the equivalent of the reference's `ecc` executable.
+
+The reference's CLI takes Eb/N0 values plus slash-separated code-name strings
+and prints a BER table with confidence intervals (SURVEY.md §2.1 R11). Usage:
+
+  python -m ecc_ldpc_tpu.cli sweep \
+      --code mackay1008 --code bpsk/1008 \
+      --decoder minsum/norm:0.8125/25 \
+      --ebn0 0:4:0.5 --batch 512 --min-frame-errors 100 \
+      --out results.json --resume sweep_state.json
+
+  python -m ecc_ldpc_tpu.cli codes          # list registered code families
+  python -m ecc_ldpc_tpu.cli bench ...      # throughput benchmark
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def parse_ebn0(text: str) -> tuple:
+    """'0:4:0.5' (start:stop:step, inclusive) or '1,2,3.5'."""
+    if ":" in text:
+        parts = [float(x) for x in text.split(":")]
+        start, stop = parts[0], parts[1]
+        step = parts[2] if len(parts) > 2 else 1.0
+        out, v = [], start
+        while v <= stop + 1e-9:
+            out.append(round(v, 9))
+            v += step
+        return tuple(out)
+    return tuple(float(x) for x in text.split(","))
+
+
+def cmd_sweep(args) -> int:
+    from ..sim import StoppingRule, SweepSpec, format_table, run_sweep
+    from ..sim.report import save_results
+
+    all_results = []
+    for code in args.code:
+        for decoder in args.decoder:
+            spec = SweepSpec(
+                code=code,
+                decoder=decoder,
+                ebn0_db=parse_ebn0(args.ebn0),
+                batch=args.batch,
+                seed=args.seed,
+                stopping=StoppingRule(
+                    min_frame_errors=args.min_frame_errors,
+                    max_frames=args.max_frames,
+                ),
+                backend=args.backend,
+            )
+            def progress(pr):
+                if args.verbose:
+                    print(format_table([pr]).splitlines()[-1], flush=True)
+
+            all_results += run_sweep(
+                spec, resume_path=args.resume, progress=progress
+            )
+    print(format_table(all_results))
+    if args.out:
+        save_results(all_results, args.out)
+        print(f"wrote {args.out}", file=sys.stderr)
+    return 0
+
+
+def cmd_codes(args) -> int:
+    from ..codes import list_codes
+
+    for name in list_codes():
+        print(name)
+    return 0
+
+
+def cmd_bench(args) -> int:
+    from ..bench.throughput import run_benchmark
+
+    result = run_benchmark(
+        code=args.code[0] if args.code else "dvbs2/64800/12",
+        decoder=args.decoder[0] if args.decoder else "minsum/norm:0.8125/25/noet",
+        batch=args.batch,
+        profile_dir=args.profile_dir,
+    )
+    print(result.json_line())
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="ecc-sim", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--code", action="append", default=None,
+                        help="code spec string (repeatable)")
+        sp.add_argument("--decoder", action="append", default=None,
+                        help="decoder spec string (repeatable)")
+        sp.add_argument("--batch", type=int, default=256)
+        sp.add_argument("--seed", type=int, default=0)
+        sp.add_argument("--backend", default=None,
+                        help="decoder backend: xla | xla-mm | pallas | auto")
+        sp.add_argument("--profile-dir", default=None,
+                        help="write a jax.profiler trace here")
+        sp.add_argument("--verbose", "-v", action="store_true")
+
+    sp = sub.add_parser("sweep", help="Monte-Carlo BER/FER sweep")
+    common(sp)
+    sp.add_argument("--ebn0", required=True, help="'0:4:0.5' or '1,2,3'")
+    sp.add_argument("--min-frame-errors", type=int, default=100)
+    sp.add_argument("--max-frames", type=int, default=1_000_000)
+    sp.add_argument("--out", default=None, help="write results JSON here")
+    sp.add_argument("--resume", default=None, help="sweep state file")
+    sp.set_defaults(fn=cmd_sweep)
+
+    sp = sub.add_parser("codes", help="list registered code families")
+    sp.set_defaults(fn=cmd_codes)
+
+    sp = sub.add_parser("bench", help="decoded-throughput benchmark")
+    common(sp)
+    sp.set_defaults(fn=cmd_bench)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if getattr(args, "code", None) is None:
+        args.code = ["mackay1008"]
+    if getattr(args, "decoder", None) is None:
+        args.decoder = ["minsum/norm:0.8125/25"]
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

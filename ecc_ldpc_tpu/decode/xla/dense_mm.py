@@ -89,7 +89,8 @@ def decode_flooding_mm(
     V0 = jnp.where(mask3, _mm(St, llr_t).reshape(m, dc, B), 0.0)
     total0 = llr_t
     done0 = ~syndrome_fail(total0)
-    iters0 = jnp.zeros((B,), jnp.int32)
+    # see flooding.py: keep the carry's varying-axes type tied to the data
+    iters0 = (llr_t[0] * 0).astype(jnp.int32)
 
     def body(state):
         V, total, done, iters = state

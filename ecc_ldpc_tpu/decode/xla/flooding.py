@@ -46,7 +46,9 @@ def decode_flooding(
     total0 = llr_t
     hard0 = (total0 < 0).astype(jnp.int32)
     done0 = ~_syndrome_fail(graph, hard0)
-    iters0 = jnp.zeros((B,), jnp.int32)
+    # derive from llr (not a fresh constant) so the carry picks up the same
+    # varying-manual-axes type as the data when run inside shard_map
+    iters0 = (llr_t[0] * 0).astype(jnp.int32)
 
     def body(state):
         V, total, done, iters = state

@@ -1,0 +1,227 @@
+"""Monte-Carlo sweep driver (SURVEY.md §2.2 C22, §3.2).
+
+Mirrors the reference's main loop (SURVEY.md §3.1): for each (code, decoder,
+Eb/N0) grid point, run batched frames until the stopping rule fires, tallying
+message-bit errors and frame errors. TPU-first shape: the whole
+encode->channel->decode->tally step is ONE jitted function with Eb/N0 as a
+traced scalar (one compilation covers every grid point), and batches are
+large so device time dominates dispatch.
+
+PRNG discipline (SURVEY.md §5.2): every batch's key is
+fold_in(fold_in(fold_in(root, point_index), step_index), host) — streams are
+disjoint across grid points, steps, and hosts, and resume continues the
+stream exactly where it stopped.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..chan import awgn_llr
+from ..codes import get_code
+from ..decode import get_decoder
+from ..encode import DenseEncoder
+from ..graph import compile_graph
+from .stopping import StoppingRule, wilson_interval
+
+
+@dataclasses.dataclass(frozen=True)
+class SweepSpec:
+    """One sweep = a grid of (code x decoder x Eb/N0)."""
+
+    code: str
+    decoder: str
+    ebn0_db: tuple
+    batch: int = 256
+    seed: int = 0
+    stopping: StoppingRule = StoppingRule()
+    backend: Optional[str] = None  # decoder backend override
+
+    def point_key(self, ebn0: float) -> str:
+        return f"{self.code}|{self.decoder}|{ebn0:g}"
+
+
+@dataclasses.dataclass
+class PointResult:
+    code: str
+    decoder: str
+    ebn0_db: float
+    frames: int = 0
+    bit_errors: int = 0
+    frame_errors: int = 0
+    iters_sum: int = 0
+    steps: int = 0
+    message_bits_per_frame: int = 0
+    wall_s: float = 0.0
+
+    @property
+    def ber(self) -> float:
+        bits = self.frames * self.message_bits_per_frame
+        return self.bit_errors / bits if bits else 0.0
+
+    @property
+    def fer(self) -> float:
+        return self.frame_errors / self.frames if self.frames else 0.0
+
+    @property
+    def fer_ci(self):
+        return wilson_interval(self.frame_errors, self.frames)
+
+    @property
+    def ber_ci(self):
+        bits = self.frames * self.message_bits_per_frame
+        return wilson_interval(self.bit_errors, bits) if bits else (0.0, 1.0)
+
+    @property
+    def mean_iters(self) -> float:
+        return self.iters_sum / self.frames if self.frames else 0.0
+
+    def to_json(self) -> dict:
+        d = dataclasses.asdict(self)
+        d.update(ber=self.ber, fer=self.fer, mean_iters=self.mean_iters,
+                 ber_ci=self.ber_ci, fer_ci=self.fer_ci)
+        return d
+
+
+class Pipeline:
+    """encode -> channel -> decode -> tally for one (code, decoder) pair.
+
+    step(key, ebn0_db) -> (bit_errors, frame_errors, iters_sum) — jitted once.
+    """
+
+    def __init__(self, k: int, rate: float, step_fn: Callable, batch: int):
+        self.k = k
+        self.rate = rate
+        self.step = step_fn
+        self.batch = batch
+
+    @staticmethod
+    def build(spec: SweepSpec) -> "Pipeline":
+        if spec.code.startswith("bpsk"):
+            return _bpsk_pipeline(spec)
+        return _ldpc_pipeline(spec)
+
+
+def _ldpc_pipeline(spec: SweepSpec) -> Pipeline:
+    code = get_code(spec.code)
+    graph = compile_graph(code)
+    enc = DenseEncoder.build(code)
+    overrides = {"backend": spec.backend} if spec.backend else {}
+    dec = get_decoder(graph, spec.decoder, jit=False, **overrides)
+    B, k, rate = spec.batch, code.k, code.rate
+
+    @jax.jit
+    def step(key, ebn0_db):
+        kmsg, kchan = jax.random.split(key)
+        msg = jax.random.bernoulli(kmsg, 0.5, (B, k)).astype(jnp.uint8)
+        cw = enc(msg)
+        llr = awgn_llr(kchan, cw, ebn0_db, rate)
+        res = dec(llr)
+        msg_hat = enc.extract_message(res.bits)
+        diff = msg_hat != msg
+        return (
+            jnp.sum(diff, dtype=jnp.int32),
+            jnp.sum(jnp.any(diff, axis=1), dtype=jnp.int32),
+            jnp.sum(res.iterations, dtype=jnp.int32),
+        )
+
+    return Pipeline(k=k, rate=rate, step_fn=step, batch=B)
+
+
+def _bpsk_pipeline(spec: SweepSpec) -> Pipeline:
+    """Uncoded BPSK baseline (reference's ECC.BPSK, SURVEY.md §2.1 R3).
+
+    Code string: "bpsk" or "bpsk/<n>"; rate 1, decode = hard decision.
+    """
+    parts = spec.code.split("/")
+    n = int(parts[1]) if len(parts) > 1 else 1024
+    B = spec.batch
+
+    @jax.jit
+    def step(key, ebn0_db):
+        kmsg, kchan = jax.random.split(key)
+        msg = jax.random.bernoulli(kmsg, 0.5, (B, n)).astype(jnp.uint8)
+        llr = awgn_llr(kchan, msg, ebn0_db, 1.0)
+        hard = (llr < 0).astype(jnp.uint8)
+        diff = hard != msg
+        return (
+            jnp.sum(diff, dtype=jnp.int32),
+            jnp.sum(jnp.any(diff, axis=1), dtype=jnp.int32),
+            jnp.zeros((), jnp.int32),
+        )
+
+    return Pipeline(k=n, rate=1.0, step_fn=step, batch=B)
+
+
+def run_sweep(
+    spec: SweepSpec,
+    *,
+    resume_path: Optional[str] = None,
+    progress: Optional[Callable[[PointResult], None]] = None,
+    host_index: int = 0,
+) -> list:
+    """Run every grid point to its stopping rule. Returns [PointResult].
+
+    If resume_path is given, counters are flushed there after every stopping
+    -rule evaluation and reloaded on restart (SURVEY.md §5.3/§5.4: the
+    Monte-Carlo state is a tiny counter pytree; recovery = reload + continue
+    the PRNG stream at the recorded step).
+    """
+    pipeline = Pipeline.build(spec)
+    state = _load_state(resume_path)
+    root = jax.random.fold_in(jax.random.key(spec.seed), host_index)
+    results = []
+    for pi, ebn0 in enumerate(spec.ebn0_db):
+        pr = PointResult(
+            code=spec.code, decoder=spec.decoder, ebn0_db=float(ebn0),
+            message_bits_per_frame=pipeline.k,
+        )
+        saved = state.get(spec.point_key(ebn0))
+        if saved:
+            for f in ("frames", "bit_errors", "frame_errors", "iters_sum",
+                      "steps", "wall_s"):
+                setattr(pr, f, saved[f])
+        point_key = jax.random.fold_in(root, pi)
+        while not spec.stopping.done(pr.frame_errors, pr.frames):
+            t0 = time.perf_counter()
+            key = jax.random.fold_in(point_key, pr.steps)
+            be, fe, it = pipeline.step(key, jnp.float32(ebn0))
+            be, fe, it = int(be), int(fe), int(it)
+            pr.wall_s += time.perf_counter() - t0
+            pr.frames += pipeline.batch
+            pr.bit_errors += be
+            pr.frame_errors += fe
+            pr.iters_sum += it
+            pr.steps += 1
+            if resume_path:
+                state[spec.point_key(ebn0)] = {
+                    f: getattr(pr, f)
+                    for f in ("frames", "bit_errors", "frame_errors",
+                              "iters_sum", "steps", "wall_s")
+                }
+                _save_state(resume_path, state)
+        if progress:
+            progress(pr)
+        results.append(pr)
+    return results
+
+
+def _load_state(path) -> dict:
+    if path and os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return {}
+
+
+def _save_state(path, state) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, path)

@@ -1,0 +1,36 @@
+"""CLI surface tests (SURVEY.md §2.2 C26)."""
+import json
+
+import pytest
+
+from ecc_ldpc_tpu.cli.main import main, parse_ebn0
+
+
+def test_parse_ebn0():
+    assert parse_ebn0("0:2:0.5") == (0.0, 0.5, 1.0, 1.5, 2.0)
+    assert parse_ebn0("1,2.5,3") == (1.0, 2.5, 3.0)
+    assert parse_ebn0("0:3") == (0.0, 1.0, 2.0, 3.0)
+
+
+def test_codes_command(capsys):
+    assert main(["codes"]) == 0
+    out = capsys.readouterr().out
+    assert "mackay1008" in out and "dvbs2" in out
+
+
+def test_sweep_command(tmp_path, capsys):
+    out_file = str(tmp_path / "res.json")
+    rc = main([
+        "sweep", "--code", "bpsk/256", "--ebn0", "4", "--batch", "128",
+        "--min-frame-errors", "10", "--max-frames", "512", "--out", out_file,
+    ])
+    assert rc == 0
+    table = capsys.readouterr().out
+    assert "bpsk/256" in table
+    data = json.loads(open(out_file).read())
+    assert data[0]["ebn0_db"] == 4.0 and data[0]["frames"] >= 128
+
+
+def test_missing_required_args():
+    with pytest.raises(SystemExit):
+        main(["sweep"])  # --ebn0 required
