@@ -17,7 +17,7 @@ def main() -> int:
         dict(code="dvbs2/64800/12", decoder="minsum/norm:0.8125/25/noet",
              batch=1024),
         dict(code="mackay1008", decoder="minsum/norm:0.8125/25/noet",
-             batch=4096),
+             batch=2048),
     ]
     last_err = None
     for cfg in attempts:

@@ -46,18 +46,23 @@ def get_code(spec_str: str) -> CodeSpec:
 
 
 def _register_builtins() -> None:
-    from . import dvbs2, gallager, ieee80211n, mackay, nr5g, wimax
+    from .dvbs2 import dvbs2
+    from .gallager import gallager_regular
+    from .ieee80211n import ieee80211n
+    from .mackay import mackay_1008
+    from .nr5g import nr5g
+    from .wimax import wimax
 
-    register("mackay1008", lambda: mackay.mackay_1008())
+    register("mackay1008", lambda: mackay_1008())
 
     def _gallager(n, j="3", k="6", seed="s0"):
-        return gallager.gallager_regular(int(n), int(j), int(k), seed=int(seed.lstrip("s")))
+        return gallager_regular(int(n), int(j), int(k), seed=int(seed.lstrip("s")))
 
     register("gallager", _gallager)
-    register("80211n", lambda n, rate: ieee80211n.ieee80211n(int(n), rate))
-    register("wimax", lambda n, rate: wimax.wimax(int(n), rate))
-    register("dvbs2", lambda n, rate: dvbs2.dvbs2(int(n), rate))
-    register("nr5g", lambda bg, zc, k=None: nr5g.nr5g(bg, int(zc), None if k is None else int(k)))
+    register("80211n", lambda n, rate: ieee80211n(int(n), rate))
+    register("wimax", lambda n, rate: wimax(int(n), rate))
+    register("dvbs2", lambda n, rate: dvbs2(int(n), rate))
+    register("nr5g", lambda bg, zc, k=None: nr5g(bg, int(zc), None if k is None else int(k)))
 
 
 _register_builtins()

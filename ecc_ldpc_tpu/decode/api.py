@@ -53,9 +53,12 @@ def make_decoder(
 
         on_tpu = jax.default_backend() == "tpu"
         if on_tpu:
+            from .pallas import fused_mm
             from .xla import dense_mm
 
-            if kind in ("spa", "minsum") and dense_mm.supports(graph):
+            if kind in ("spa", "minsum") and fused_mm.supports(graph):
+                backend = "pallas"
+            elif kind in ("spa", "minsum") and dense_mm.supports(graph):
                 backend = "xla-mm"
             else:
                 backend = "pallas"
@@ -77,13 +80,18 @@ def make_decoder(
             raise KeyError(f"xla-mm backend supports spa/minsum, not {kind!r}")
         ops = dense_mm.IncidenceOperators.build(graph)
 
-        def decode_mm(llr):
+        # ops must be an ARGUMENT of the jitted fn, not a closure capture —
+        # closed-over arrays embed as giant inline constants in the lowered
+        # module (27 MB of MLIR for n=1008), which the platform's remote
+        # compile helper cannot digest.
+        def decode_mm_impl(ops, llr):
             return dense_mm.decode_flooding_mm(
                 graph, ops, llr, cn_op=cn_op, max_iters=max_iters,
                 early_term=early_term,
             )
 
-        return jax.jit(decode_mm) if jit else decode_mm
+        impl = jax.jit(decode_mm_impl) if jit else decode_mm_impl
+        return lambda llr: impl(ops, llr)
     if backend != "xla":
         raise KeyError(f"unknown backend {backend!r}")
 
