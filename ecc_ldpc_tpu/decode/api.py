@@ -52,7 +52,9 @@ def make_decoder(
         from . import xla as _  # noqa: F401  (keep import side effects local)
 
         on_tpu = jax.default_backend() == "tpu"
-        if on_tpu:
+        if kind == "layered":
+            backend = "xla"  # roll-based, TPU-safe; pallas layered is opt-in
+        elif on_tpu:
             from .pallas import fused_mm
             from .xla import dense_mm
 

@@ -1,6 +1,143 @@
-"""Placeholder — layered schedule lands with the QC milestone (SURVEY.md §7.1 M4)."""
+"""Layered (row-block) min-sum decoding for QC codes, pure jnp
+(SURVEY.md §2.2 C14; config 3, BASELINE.json:9).
+
+The layered schedule sweeps block-rows sequentially within an iteration,
+using freshly-updated posteriors immediately — it converges in roughly half
+the iterations of flooding, which is why the standards families (802.11n /
+WiMAX / DVB-S2 / 5G NR) are decoded this way. The reference's QC "arraylet"
+tier (SURVEY.md §2.1 R8) is its structured analog.
+
+TPU-first form: message slabs are [Z, batch] (batch on lanes); circulant
+addressing is jnp.roll along the sublane axis with *static* shifts unrolled
+at trace time from the base matrix — zero gathers. This tier is the oracle
+twin of decode/pallas/layered_qc.py.
+
+State per decode: total [nb, Z, B] posteriors, C [BE, Z, B] check-aligned
+check-to-variable messages.
+"""
 from __future__ import annotations
 
+import jax
+import jax.numpy as jnp
 
-def make_layered_decoder(*args, **kwargs):
-    raise NotImplementedError("layered schedule lands in the QC milestone")
+from ...graph.qc import QCGraph
+from ..types import DecodeResult
+
+_MAG_CAP = 1e12
+
+
+def _cn_minsum_axis0(V, alpha: float, beta: float):
+    """Leave-one-out two-min CN update over axis 0 of [d, Z, B]."""
+    s = jnp.where(V < 0, -1.0, 1.0)
+    neg = (V < 0).astype(jnp.float32)
+    cnt = jnp.sum(neg, axis=0, keepdims=True)
+    sgn_prod = 1.0 - 2.0 * (cnt - 2.0 * jnp.floor(cnt * 0.5))
+    a = jnp.abs(V)
+    min1 = jnp.min(a, axis=0, keepdims=True)
+    is_min = a == min1
+    count_min = jnp.sum(is_min.astype(jnp.float32), axis=0, keepdims=True)
+    min2 = jnp.min(jnp.where(is_min, jnp.inf, a), axis=0, keepdims=True)
+    mag = jnp.where(is_min & (count_min == 1.0), min2, min1)
+    mag = jnp.minimum(mag, _MAG_CAP)
+    mag = jnp.maximum(alpha * mag - beta, 0.0)
+    return (sgn_prod * s) * mag
+
+
+def _syndrome_fail(graph: QCGraph, total):
+    """fail [B]: any unsatisfied check, via static rolls."""
+    hard = (total < 0).astype(jnp.float32)  # [nb, Z, B]
+    fails = []
+    for i in range(graph.mb):
+        acc = 0.0
+        for e, col, s in graph.layer_edges(i):
+            acc = acc + jnp.roll(hard[col], -s, axis=0)
+        par = acc - 2.0 * jnp.floor(acc * 0.5)
+        fails.append(jnp.max(par, axis=0))  # [Z? no: [B]] -- max over Z
+    return jnp.max(jnp.stack(fails), axis=0) > 0.5  # [B]
+
+
+def decode_layered(
+    graph: QCGraph,
+    llr: jax.Array,
+    *,
+    alpha: float = 1.0,
+    beta: float = 0.0,
+    max_iters: int = 25,
+    early_term: bool = True,
+) -> DecodeResult:
+    """llr: f32 [B, n] -> DecodeResult. One iteration = one full sweep of
+    all mb layers."""
+    B = llr.shape[0]
+    Z, nb = graph.Z, graph.nb
+    total0 = llr.T.astype(jnp.float32).reshape(nb, Z, B)
+    C0 = jnp.zeros((graph.num_block_edges, Z, B), jnp.float32)
+    done0 = ~_syndrome_fail(graph, total0)
+    iters0 = (total0[0, 0] * 0).astype(jnp.int32)  # varying-axes-safe zero
+
+    def sweep(total, C):
+        for i in range(graph.mb):
+            edges = graph.layer_edges(i)
+            # extrinsic inputs, check-aligned: roll posteriors to the check
+            # frame and subtract this check's previous output
+            Vt = jnp.stack(
+                [jnp.roll(total[col], -s, axis=0) - C[e] for e, col, s in edges]
+            )  # [d, Z, B]
+            Cnew = _cn_minsum_axis0(Vt, alpha, beta)
+            # posterior update: add the message delta, rolled back to the
+            # variable frame; then store the new check output. All indices
+            # static => dynamic_update_slice, never scatter (TPU-safe).
+            for j, (e, col, s) in enumerate(edges):
+                total = total.at[col].add(jnp.roll(Cnew[j] - C[e], s, axis=0))
+                C = C.at[e].set(Cnew[j])
+        return total, C
+
+    def body(state):
+        total, C, done, iters = state
+        new_total, newC = sweep(total, C)
+        fail = _syndrome_fail(graph, new_total)
+        keep = done[None, None, :]  # [1,1,B] broadcasts over both states
+        total = jnp.where(keep, total, new_total)
+        C = jnp.where(keep, C, newC)
+        iters = jnp.where(done, iters, iters + 1)
+        done = done | ~fail
+        return total, C, done, iters
+
+    state = (total0, C0, done0, iters0)
+    if early_term:
+        def cond(state):
+            _, _, done, iters = state
+            return (iters.max() < max_iters) & ~jnp.all(done)
+
+        state = jax.lax.while_loop(cond, body, state)
+    else:
+        state = jax.lax.fori_loop(0, max_iters, lambda _, s: body(s), state)
+
+    total, _, done, iters = state
+    bits = (total.reshape(nb * Z, B) < 0).astype(jnp.uint8).T
+    return DecodeResult(bits=bits, ok=done, iterations=iters)
+
+
+def make_layered_decoder(
+    graph,
+    *,
+    alpha: float = 1.0,
+    beta: float = 0.0,
+    max_iters: int = 25,
+    early_term: bool = True,
+    jit: bool = True,
+):
+    from ...graph.qc import QCGraph as _QC
+
+    if not isinstance(graph, _QC):
+        raise TypeError(
+            "layered decoding needs a QCGraph (compile with graph.qc."
+            "compile_qc_graph on a QC code)"
+        )
+
+    def decode(llr):
+        return decode_layered(
+            graph, llr, alpha=alpha, beta=beta, max_iters=max_iters,
+            early_term=early_term,
+        )
+
+    return jax.jit(decode) if jit else decode

@@ -1,0 +1,137 @@
+"""Structured QC encoders: dual-diagonal back-substitution in O(n)
+(SURVEY.md §2.2 C11).
+
+For base matrices of the 802.11n/WiMAX shape H = [Hi | Hp], where Hp has a
+special first parity column with entries (x, 0, x) at rows (0, rx, mb-1)
+and a shift-0 double-diagonal staircase, the parity blocks follow from the
+info blocks without any generator matrix:
+
+  s_i   = sum_j P^{a_ij} u_j                 (block syndromes of the info part)
+  p_0   = sum_i s_i                           (rows telescope: staircase
+                                               cancels pairwise; the special
+                                               column's two P^x add to zero,
+                                               leaving P^0 p_0)
+  p_1   = s_0 + P^{x} p_0
+  p_{d+1} = p_d + s_d + [P^{0} p_0 if d == rx]   (back-substitution)
+
+All block ops are jnp.roll along the Z axis with static shifts — the
+encoder is a short unrolled roll/XOR chain, MXU-free and gather-free,
+batched over frames on the lane dimension. Works for ANY Z and any table
+with this skeleton (recalled standard tables and surrogates alike);
+correctness is asserted against H at build time for a random batch.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..codes.spec import CodeSpec
+
+
+@dataclasses.dataclass(frozen=True)
+class DualDiagonalPlan:
+    """Host-side encode plan extracted from a QC base matrix."""
+
+    Z: int
+    mb: int
+    kb: int
+    special_shift: int  # x in the (x, 0, x) special column
+    special_mid_row: int  # rx
+    info_edges: tuple  # tuple of (block_row, block_col, shift)
+
+    @staticmethod
+    def from_spec(spec: CodeSpec) -> "DualDiagonalPlan":
+        qc = spec.qc
+        if qc is None:
+            raise ValueError(f"{spec.name}: not a QC code")
+        base = qc.base
+        mb, nb = base.shape
+        kb = nb - mb
+        pcol = base[:, kb]
+        rows = np.flatnonzero(pcol >= 0)
+        if len(rows) != 3 or rows[0] != 0 or rows[-1] != mb - 1:
+            raise ValueError(f"{spec.name}: no (x,0,x) special parity column")
+        x0, xm, x2 = pcol[rows[0]], pcol[rows[1]], pcol[rows[2]]
+        if x0 != x2 or xm != 0:
+            raise ValueError(f"{spec.name}: special column is ({x0},{xm},{x2}), not (x,0,x)")
+        # staircase check
+        for d in range(mb - 1):
+            col = base[:, kb + 1 + d]
+            nz = np.flatnonzero(col >= 0)
+            if not (len(nz) == 2 and list(nz) == [d, d + 1] and col[d] == 0 and col[d + 1] == 0):
+                raise ValueError(f"{spec.name}: parity column {kb+1+d} is not staircase")
+        info_edges = tuple(
+            (int(i), int(j), int(base[i, j]))
+            for i in range(mb)
+            for j in range(kb)
+            if base[i, j] >= 0
+        )
+        return DualDiagonalPlan(
+            Z=qc.Z, mb=mb, kb=kb, special_shift=int(x0),
+            special_mid_row=int(rows[1]), info_edges=info_edges,
+        )
+
+
+class DualDiagonalEncoder:
+    """Batched device encoder: msg [B, kb*Z] -> codeword [B, nb*Z]."""
+
+    def __init__(self, spec: CodeSpec, validate: bool = True):
+        self.plan = DualDiagonalPlan.from_spec(spec)
+        self.spec = spec
+        self.k = self.plan.kb * self.plan.Z
+        self.n = (self.plan.kb + self.plan.mb) * self.plan.Z
+        self._encode = jax.jit(self._encode_impl)
+        if validate:
+            key = jax.random.key(0)
+            msg = jax.random.bernoulli(key, 0.5, (4, self.k)).astype(jnp.uint8)
+            cw = np.asarray(self._encode(msg))
+            if not spec.check_syndrome(cw):
+                raise AssertionError(f"{spec.name}: structured encode violates H")
+
+    def __call__(self, msg_bits: jax.Array) -> jax.Array:
+        return self._encode(msg_bits)
+
+    def extract_message(self, codeword_bits: jax.Array) -> jax.Array:
+        return codeword_bits[..., : self.k]
+
+    def _encode_impl(self, msg_bits):
+        p = self.plan
+        B = msg_bits.shape[0]
+        u = msg_bits.T.astype(jnp.uint8).reshape(p.kb, p.Z, B)
+        s = [jnp.zeros((p.Z, B), jnp.uint8) for _ in range(p.mb)]
+        for i, j, sh in p.info_edges:
+            # check r of block-row i sees variable (r + sh) % Z: the check-
+            # aligned view of slab u_j is roll(u_j, -sh)
+            s[i] = s[i] ^ jnp.roll(u[j], -sh, axis=0)
+        p0 = s[0]
+        for i in range(1, p.mb):
+            p0 = p0 ^ s[i]
+        parity = [p0]
+        # row 0: s_0 + P^x p_0 + p_1 = 0
+        prev = s[0] ^ jnp.roll(p0, -p.special_shift, axis=0)
+        parity.append(prev)
+        for d in range(1, p.mb - 1):
+            nxt = prev ^ s[d]
+            if d == p.special_mid_row:
+                nxt = nxt ^ p0  # P^0 p_0
+            parity.append(nxt)
+            prev = nxt
+        par = jnp.stack(parity).reshape(p.mb * p.Z, B)
+        return jnp.concatenate([msg_bits.T.astype(jnp.uint8), par]).T
+
+
+def build_encoder(spec: CodeSpec):
+    """Pick the right encoder for a code: structured when the QC skeleton
+    allows it, dense generator otherwise."""
+    if spec.qc is not None:
+        try:
+            return DualDiagonalEncoder(spec)
+        except ValueError:
+            pass
+    from .dense import DenseEncoder
+
+    return DenseEncoder.build(spec)

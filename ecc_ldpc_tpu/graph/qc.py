@@ -1,0 +1,107 @@
+"""Compiled quasi-cyclic graph: block-edge lists for roll-based kernels.
+
+The TPU-native representation of QC-LDPC codes (SURVEY.md §2.2 C8/C18): a
+message slab for one Z x Z circulant block is laid out [Z, batch] with Z on
+sublanes and batch on lanes, so applying the circulant permutation P^s is a
+*roll* along the sublane axis — jnp.roll (static shifts, XLA tier) or
+pltpu.roll (dynamic shifts from SMEM, Pallas tier). No gather/scatter exists
+anywhere in the QC decode path, which sidesteps both the platform's
+gather-chain compiler bug and TPU's lack of vector-gather.
+
+Alignment convention: a slab associated with block-edge e is CHECK-aligned
+(indexed by the check's row r inside the block-row). Check r connects to
+variable (r + shift) % Z, so:
+  variable-aligned view = roll(check_aligned, +shift)
+  check-aligned view    = roll(variable_aligned, -shift)
+with roll(x, s)[i] = x[(i - s) % Z] (np.roll semantics; pltpu.roll matches).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import numpy as np
+
+from ..codes.qc import QCCode
+from ..codes.spec import CodeSpec
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class QCGraph:
+    """Device-ready QC graph."""
+
+    # static
+    Z: int = dataclasses.field(metadata=dict(static=True))
+    mb: int = dataclasses.field(metadata=dict(static=True))
+    nb: int = dataclasses.field(metadata=dict(static=True))
+    num_block_edges: int = dataclasses.field(metadata=dict(static=True))
+    dcb_max: int = dataclasses.field(metadata=dict(static=True))
+    dvb_max: int = dataclasses.field(metadata=dict(static=True))
+    k: int = dataclasses.field(metadata=dict(static=True))
+    name: str = dataclasses.field(metadata=dict(static=True))
+    # host-side copies for trace-time (static) unrolling in the XLA tier
+    be_row_np: tuple = dataclasses.field(metadata=dict(static=True))
+    be_col_np: tuple = dataclasses.field(metadata=dict(static=True))
+    be_shift_np: tuple = dataclasses.field(metadata=dict(static=True))
+
+    # device data (for the Pallas tier: shifts via scalar prefetch)
+    be_row: jax.Array  # int32 [BE]
+    be_col: jax.Array  # int32 [BE]
+    be_shift: jax.Array  # int32 [BE]
+    row_be: jax.Array  # int32 [mb, dcb_max]  block-edge ids per block-row
+    row_mask: jax.Array  # bool [mb, dcb_max]
+    col_be: jax.Array  # int32 [nb, dvb_max]
+    col_mask: jax.Array  # bool [nb, dvb_max]
+
+    @property
+    def n(self) -> int:
+        return self.nb * self.Z
+
+    @property
+    def m(self) -> int:
+        return self.mb * self.Z
+
+    def layer_edges(self, i: int):
+        """Host-side (edge_id, col, shift) triples of block-row i."""
+        out = []
+        for e in range(self.num_block_edges):
+            if self.be_row_np[e] == i:
+                out.append((e, self.be_col_np[e], self.be_shift_np[e]))
+        return out
+
+
+def compile_qc_graph(spec: CodeSpec) -> QCGraph:
+    qc: QCCode = spec.qc
+    if qc is None:
+        raise ValueError(f"code {spec.name!r} has no QC structure")
+    br, bc, sh = qc.block_edges()
+    BE = len(br)
+    dcb = np.bincount(br, minlength=qc.mb)
+    dvb = np.bincount(bc, minlength=qc.nb)
+    dcb_max, dvb_max = int(dcb.max()), int(dvb.max())
+
+    row_be = np.zeros((qc.mb, dcb_max), np.int32)
+    row_mask = np.zeros((qc.mb, dcb_max), bool)
+    col_be = np.zeros((qc.nb, dvb_max), np.int32)
+    col_mask = np.zeros((qc.nb, dvb_max), bool)
+    fr = np.zeros(qc.mb, np.int32)
+    fc = np.zeros(qc.nb, np.int32)
+    for e in range(BE):
+        i, j = br[e], bc[e]
+        row_be[i, fr[i]] = e
+        row_mask[i, fr[i]] = True
+        fr[i] += 1
+        col_be[j, fc[j]] = e
+        col_mask[j, fc[j]] = True
+        fc[j] += 1
+
+    return QCGraph(
+        Z=qc.Z, mb=qc.mb, nb=qc.nb, num_block_edges=BE,
+        dcb_max=dcb_max, dvb_max=dvb_max, k=spec.k, name=spec.name,
+        be_row_np=tuple(int(x) for x in br),
+        be_col_np=tuple(int(x) for x in bc),
+        be_shift_np=tuple(int(x) for x in sh),
+        be_row=br, be_col=bc, be_shift=sh,
+        row_be=row_be, row_mask=row_mask, col_be=col_be, col_mask=col_mask,
+    )

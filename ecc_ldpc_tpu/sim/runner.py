@@ -110,9 +110,16 @@ class Pipeline:
 
 
 def _ldpc_pipeline(spec: SweepSpec) -> Pipeline:
+    from ..decode.api import parse_decoder_spec
+    from ..encode.structured import build_encoder
+    from ..graph.qc import compile_qc_graph
+
     code = get_code(spec.code)
-    graph = compile_graph(code)
-    enc = DenseEncoder.build(code)
+    if parse_decoder_spec(spec.decoder)["kind"] == "layered":
+        graph = compile_qc_graph(code)  # layered needs the QC block view
+    else:
+        graph = compile_graph(code)
+    enc = build_encoder(code)
     overrides = {"backend": spec.backend} if spec.backend else {}
     dec = get_decoder(graph, spec.decoder, jit=False, **overrides)
     B, k, rate = spec.batch, code.k, code.rate
