@@ -98,10 +98,15 @@ def surrogate_base(mb: int, nb: int, Z: int, seed: int, heavy_cols: int = 2,
     # heavy info columns
     for j in range(heavy_cols):
         base[:, j] = rng.integers(0, Z, mb)
-    # light info columns: `info_weight` entries spread over rows
+    # light info columns: `info_weight` entries, rows chosen to keep row
+    # degrees balanced (standards rows are near-uniform degree; unbalanced
+    # rows inflate dcb_max and with it decoder state/padding)
+    deg = (base >= 0).sum(axis=1)
     for j in range(heavy_cols, kb):
-        rows = rng.choice(mb, size=info_weight, replace=False)
+        order = np.argsort(deg + rng.random(mb) * 0.5)
+        rows = order[:info_weight]
         base[rows, j] = rng.integers(0, Z, info_weight)
+        deg[rows] += 1
     # girth repair on shifts only (structure fixed)
     for _ in range(2000):
         viol = _block_4cycle_violations(base, Z)

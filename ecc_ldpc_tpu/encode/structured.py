@@ -86,9 +86,12 @@ class DualDiagonalEncoder:
         self.n = (self.plan.kb + self.plan.mb) * self.plan.Z
         self._encode = jax.jit(self._encode_impl)
         if validate:
-            key = jax.random.key(0)
-            msg = jax.random.bernoulli(key, 0.5, (4, self.k)).astype(jnp.uint8)
-            cw = np.asarray(self._encode(msg))
+            # validate with the host-side NumPy twin (no device compile in
+            # the constructor — TPU compiles through the remote helper are
+            # expensive and unnecessary for a structural self-check)
+            rng = np.random.default_rng(0)
+            msg = rng.integers(0, 2, (4, self.k), dtype=np.uint8)
+            cw = self.encode_numpy(msg)
             if not spec.check_syndrome(cw):
                 raise AssertionError(f"{spec.name}: structured encode violates H")
 
@@ -97,6 +100,27 @@ class DualDiagonalEncoder:
 
     def extract_message(self, codeword_bits: jax.Array) -> jax.Array:
         return codeword_bits[..., : self.k]
+
+    def encode_numpy(self, msg_bits: np.ndarray) -> np.ndarray:
+        """Host-side NumPy twin of _encode_impl (validation / tests)."""
+        p = self.plan
+        B = msg_bits.shape[0]
+        u = msg_bits.T.astype(np.uint8).reshape(p.kb, p.Z, B)
+        s = np.zeros((p.mb, p.Z, B), np.uint8)
+        for i, j, sh in p.info_edges:
+            s[i] ^= np.roll(u[j], -sh, axis=0)
+        p0 = s.sum(axis=0) % 2
+        parity = [p0.astype(np.uint8)]
+        prev = s[0] ^ np.roll(p0, -p.special_shift, axis=0)
+        parity.append(prev.astype(np.uint8))
+        for d in range(1, p.mb - 1):
+            nxt = prev ^ s[d]
+            if d == p.special_mid_row:
+                nxt = nxt ^ p0
+            parity.append(nxt.astype(np.uint8))
+            prev = nxt
+        par = np.stack(parity).reshape(p.mb * p.Z, B)
+        return np.concatenate([msg_bits.T.astype(np.uint8), par]).T
 
     def _encode_impl(self, msg_bits):
         p = self.plan

@@ -1,0 +1,68 @@
+"""Pallas layered QC kernel vs XLA layered oracle — interpret mode, CPU,
+bit-exact (SURVEY.md §4.2 item 3)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ecc_ldpc_tpu.chan import awgn_llr
+from ecc_ldpc_tpu.codes.ieee80211n import surrogate_base
+from ecc_ldpc_tpu.codes.qc import QCCode, expand_qc
+from ecc_ldpc_tpu.decode.pallas.layered_qc import (
+    make_layered_pallas_decoder,
+    supports,
+)
+from ecc_ldpc_tpu.decode.xla.layered import make_layered_decoder
+from ecc_ldpc_tpu.encode.structured import DualDiagonalEncoder
+from ecc_ldpc_tpu.graph.qc import compile_qc_graph
+
+
+@pytest.fixture(scope="module")
+def z16_code():
+    base = surrogate_base(mb=4, nb=12, Z=16, seed=99)
+    spec = expand_qc(QCCode(Z=16, base=base), name="test.z16", k=8 * 16)
+    return spec, compile_qc_graph(spec), DualDiagonalEncoder(spec)
+
+
+def _tx(spec, enc, B, ebn0, seed=0):
+    key = jax.random.key(seed)
+    msg = jax.random.bernoulli(key, 0.5, (B, spec.k)).astype(jnp.uint8)
+    cw = enc(msg)
+    return cw, awgn_llr(jax.random.fold_in(key, 1), cw, ebn0, spec.rate)
+
+
+@pytest.mark.parametrize("alpha,beta", [(1.0, 0.0), (0.8125, 0.0), (1.0, 0.1)])
+@pytest.mark.parametrize("early_term", [True, False])
+def test_pallas_layered_matches_oracle(z16_code, alpha, beta, early_term):
+    spec, qg, enc = z16_code
+    cw, llr = _tx(spec, enc, 32, 3.0)
+    a = make_layered_decoder(qg, alpha=alpha, beta=beta, max_iters=12,
+                             early_term=early_term)(llr)
+    b = make_layered_pallas_decoder(
+        qg, alpha=alpha, beta=beta, max_iters=12, early_term=early_term,
+        batch_tile=32,
+    )(llr)
+    assert np.array_equal(np.asarray(a.bits), np.asarray(b.bits))
+    assert np.array_equal(np.asarray(a.ok), np.asarray(b.ok))
+    assert np.array_equal(np.asarray(a.iterations), np.asarray(b.iterations))
+
+
+def test_pallas_layered_multi_tile_and_pad(z16_code):
+    spec, qg, enc = z16_code
+    cw, llr = _tx(spec, enc, 50, 2.5, seed=3)  # pads 50 -> 64, 2 tiles of 32
+    a = make_layered_decoder(qg, alpha=0.8125, max_iters=10)(llr)
+    b = make_layered_pallas_decoder(qg, alpha=0.8125, max_iters=10,
+                                    batch_tile=32)(llr)
+    assert np.array_equal(np.asarray(a.bits), np.asarray(b.bits))
+    assert np.array_equal(np.asarray(a.iterations), np.asarray(b.iterations))
+
+
+def test_supports_gate(z16_code):
+    spec, qg, enc = z16_code
+    assert supports(qg)
+    base = surrogate_base(mb=4, nb=12, Z=27, seed=1)
+    spec27 = expand_qc(QCCode(Z=27, base=base), name="t27", k=8 * 27)
+    qg27 = compile_qc_graph(spec27)
+    assert not supports(qg27)
+    with pytest.raises(ValueError):
+        make_layered_pallas_decoder(qg27)
