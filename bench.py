@@ -14,8 +14,11 @@ def main() -> int:
     from ecc_ldpc_tpu.bench.throughput import run_benchmark
 
     attempts = [
-        dict(code="dvbs2/64800/12", decoder="minsum/norm:0.8125/25/noet",
-             batch=1024),
+        # Flagship (BASELINE.json:5): n=64800, 25-iteration min-sum. Layered
+        # schedule on the fused QC kernel — the TPU-native form of the
+        # reference's structured-decoder tier.
+        dict(code="dvbs2/64800/12", decoder="layered/norm:0.8125/25/noet",
+             batch=128, ebn0_db=1.5),
         dict(code="mackay1008", decoder="minsum/norm:0.8125/25/noet",
              batch=2048),
     ]

@@ -129,23 +129,24 @@ def run_benchmark(
     from ..codes import get_code
     from ..decode import get_decoder
     from ..decode.api import parse_decoder_spec
-    from ..encode import DenseEncoder
-    from ..graph import compile_graph
+    from ..encode.structured import build_encoder
+    from ..graph import compile_graph, compile_qc_graph
 
     spec = get_code(code)
-    graph = compile_graph(spec)
+    kw = parse_decoder_spec(decoder)
+    if kw["kind"] == "layered":
+        graph = compile_qc_graph(spec)
+    else:
+        graph = compile_graph(spec)
     overrides = {"backend": backend} if backend else {"backend": "auto"}
     dec = get_decoder(graph, decoder, **overrides)
-    iters = parse_decoder_spec(decoder).get("max_iters", 25)
+    iters = kw.get("max_iters", 25)
 
     # Realistic operating-point LLRs (the metric decodes real noisy frames).
-    enc = DenseEncoder.build(spec) if spec.n <= 8192 else None
+    enc = build_encoder(spec)
     key = jax.random.key(0)
-    if enc is not None:
-        msg = jax.random.bernoulli(key, 0.5, (batch, spec.k)).astype(jnp.uint8)
-        cw = enc(msg)
-    else:
-        cw = jnp.zeros((batch, spec.n), jnp.uint8)  # all-zero codeword
+    msg = jax.random.bernoulli(key, 0.5, (batch, spec.k)).astype(jnp.uint8)
+    cw = enc(msg)
     llr = awgn_llr(jax.random.fold_in(key, 1), cw, ebn0_db, spec.rate)
 
     if profile_dir:

