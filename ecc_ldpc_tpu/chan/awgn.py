@@ -37,6 +37,32 @@ def llr_from_channel(y: jax.Array, sigma) -> jax.Array:
     return 2.0 * y / (sigma * sigma)
 
 
+def make_channel(spec):
+    """Channel function honoring a code's punctured/shortened positions
+    (5G NR rate matching, SURVEY.md §2.2 C7): punctured bits are never
+    transmitted (LLR 0 at the receiver), shortened/filler bits are known
+    zeros (large positive LLR). Returns f(key, cw, ebn0_db) -> llr.
+
+    Eb/N0 is referenced to spec.rate = k / transmitted bits, matching the
+    reference's sigma convention applied to the transmitted stream.
+    """
+    import numpy as _np
+
+    punct = _np.asarray(spec.punctured_cols, dtype=_np.int32)
+    short = _np.asarray(spec.shortened_cols, dtype=_np.int32)
+    rate = spec.rate
+
+    def channel(key, cw, ebn0_db):
+        llr = awgn_llr(key, cw, ebn0_db, rate)
+        if len(punct):
+            llr = llr.at[..., punct].set(0.0)
+        if len(short):
+            llr = llr.at[..., short].set(60.0)
+        return llr
+
+    return channel
+
+
 def q_function(x):
     """Gaussian tail Q(x) = P(N(0,1) > x)."""
     return 0.5 * jax.scipy.special.erfc(jnp.asarray(x) / jnp.sqrt(2.0))

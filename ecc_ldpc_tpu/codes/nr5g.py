@@ -1,6 +1,164 @@
-"""Placeholder — implemented in a later milestone (see SURVEY.md §7.1)."""
+"""5G NR LDPC (3GPP TS 38.212 §5.3.2) — BG1/BG2, lifting, rate matching
+(config 5, BASELINE.json:11).
+
+Base-graph skeleton (exactly the standard's geometry):
+  BG1: 46 x 68, kb = 22 info block-cols;  BG2: 42 x 52, kb = 10.
+  - 4 "core" rows with dense info participation and a 4-column core parity
+    section (cols kb..kb+3) in dual-diagonal form;
+  - 42/38 "extension" rows, each with one degree-1 identity parity column
+    (cols kb+4 ...) plus a few entries over info + core-parity columns.
+Lifting sizes: Zc = a * 2^j, a in {2,3,5,7,9,11,13,15}, Zc <= 384 — the 51
+standard values; shifts live at Z_max = 384 and are reduced mod Zc (the
+standard's per-set reduction has the same shape).
+
+Rate compatibility (the "rate-compatible" in config 5):
+  - filler bits: requesting k < kb*Zc shortens the tail of the info section
+    (receiver treats them as known zeros);
+  - the first 2*Zc systematic bits are ALWAYS punctured (never transmitted);
+  - requesting n_tx < n punctures tail parity, raising the rate — the
+    standard's circular-buffer rate matching restricted to RV0.
+
+TABLE PROVENANCE (SURVEY.md §7.2 item 4): the 316/197-entry shift tables
+of 38.212 cannot be reproduced from memory; shifts here are deterministic
+SURROGATES on the exact BG skeleton above, QC-girth-repaired at Z_max.
+Degree profiles follow the standard's shape (two very heavy leading info
+columns, dense core rows, sparse extension rows). Validated by the NR
+encoder's G·H^T=0 self-check and waterfall tests.
+"""
 from __future__ import annotations
 
+import numpy as np
 
-def nr5g(*args, **kwargs):
-    raise NotImplementedError("nr5g tables land in a later milestone")
+from .qc import QCCode, expand_qc
+from .spec import CodeSpec
+
+ZMAX = 384
+LIFTING_SIZES = sorted(
+    a * (1 << j)
+    for a in (2, 3, 5, 7, 9, 11, 13, 15)
+    for j in range(8)
+    if a * (1 << j) <= 384
+)
+
+_BG = {
+    "bg1": dict(mb=46, kb=22, core_info_deg=19, ext_info_deg=4),
+    "bg2": dict(mb=42, kb=10, core_info_deg=8, ext_info_deg=3),
+}
+
+
+def _build_bg(bg: str, seed: int) -> np.ndarray:
+    cfg = _BG[bg]
+    mb, kb = cfg["mb"], cfg["kb"]
+    nb = kb + mb
+    rng = np.random.default_rng(seed)
+    base = -np.ones((mb, nb), dtype=np.int32)
+
+    # core parity (cols kb..kb+3), dual-diagonal over the 4 core rows:
+    # special col kb at rows (0,1,3) with shifts (1,0,1); staircase
+    base[0, kb] = 1
+    base[1, kb] = 0
+    base[3, kb] = 1
+    base[0, kb + 1] = 0
+    base[1, kb + 1] = 0
+    base[1, kb + 2] = 0
+    base[2, kb + 2] = 0
+    base[2, kb + 3] = 0
+    base[3, kb + 3] = 0
+
+    # extension identity parity
+    for r in range(4, mb):
+        base[r, kb + 4 + (r - 4)] = 0
+
+    # core rows: dense info participation; columns 0,1 in every core row
+    for r in range(4):
+        cols = {0, 1}
+        want = min(cfg["core_info_deg"], kb)
+        cols |= set(rng.choice(np.arange(2, kb), size=want - 2, replace=False))
+        for j in cols:
+            base[r, j] = rng.integers(0, ZMAX)
+
+    # extension rows: heavy cols 0,1 often present + light info/core entries
+    deg = (base[:, :kb] >= 0).sum(axis=0)
+    for r in range(4, mb):
+        cols = set()
+        if rng.random() < 0.8:
+            cols.add(int(rng.integers(0, 2)))  # one of the heavy columns
+        pool = np.arange(2, kb + 4)  # info + core-parity columns
+        w = cfg["ext_info_deg"] - len(cols)
+        weights = 1.0 / (1.0 + np.concatenate([deg[2:kb], np.full(4, 3.0)]))
+        weights /= weights.sum()
+        cols |= set(int(c) for c in rng.choice(pool, size=w, replace=False, p=weights))
+        for j in cols:
+            base[r, j] = rng.integers(0, ZMAX)
+        for j in cols:
+            if j < kb:
+                deg[j] += 1
+
+    # QC girth repair at ZMAX on non-parity entries
+    from .ieee80211n import _block_4cycle_violations
+
+    for _ in range(4000):
+        viol = _block_4cycle_violations(base, ZMAX)
+        viol = [v for v in viol if v[2] < kb + 4 or v[3] < kb + 4]
+        if not viol:
+            break
+        i1, i2, j1, j2 = viol[0]
+        j = j1 if j1 < kb else j2
+        if j >= kb:
+            continue
+        base[i2 if j1 < kb else i1, j] = rng.integers(0, ZMAX)
+    return base
+
+
+_BG_CACHE: dict = {}
+
+
+def bg_table(bg: str) -> np.ndarray:
+    if bg not in _BG_CACHE:
+        _BG_CACHE[bg] = _build_bg(bg, seed={"bg1": 3821201, "bg2": 3821202}[bg])
+    return _BG_CACHE[bg]
+
+
+def nr5g(
+    bg: str, Zc: int, k: int | None = None, n_tx: int | None = None
+) -> CodeSpec:
+    """nr5g('bg1', 384) -> full code; k and n_tx enable rate matching.
+
+    k: message bits (<= kb*Zc); the tail kb*Zc - k info bits are filler.
+    n_tx: transmitted bits; tail parity beyond it is punctured. The leading
+    2*Zc systematic bits are always punctured (38.212 §5.3.2).
+    """
+    bg = bg.lower()
+    if bg not in _BG:
+        raise ValueError(f"bg must be 'bg1' or 'bg2', got {bg!r}")
+    if Zc not in LIFTING_SIZES:
+        raise ValueError(f"Zc={Zc} not a standard lifting size")
+    cfg = _BG[bg]
+    kb, mb = cfg["kb"], cfg["mb"]
+    base = bg_table(bg).copy()
+    nz = base >= 0
+    base[nz] = base[nz] % Zc
+
+    n = (kb + mb) * Zc
+    k_full = kb * Zc
+    if k is None:
+        k = k_full  # no filler; rate accounts for the 2Zc puncture
+    if not (0 < k <= k_full):
+        raise ValueError(f"k={k} out of range (<= {k_full})")
+    filler = tuple(range(k, k_full))  # tail of the info section
+    punct = list(range(2 * Zc))  # leading systematic puncture
+    if n_tx is not None:
+        if n_tx > n - 2 * Zc - len(filler):
+            raise ValueError("n_tx exceeds available transmitted bits")
+        # transmitted bits are (2Zc..n) minus filler; puncture the tail
+        tx = [i for i in range(2 * Zc, n) if not (k <= i < k_full)]
+        punct += tx[n_tx:]
+    qc = QCCode(Z=Zc, base=base)
+    return expand_qc(
+        qc,
+        name=f"nr5g.{bg}.z{Zc}" + (f".k{k}" if k != k_full else "")
+        + (f".ntx{n_tx}" if n_tx else "") + ".surrogate",
+        k=k,
+        punctured_cols=tuple(punct),
+        shortened_cols=filler,
+    )

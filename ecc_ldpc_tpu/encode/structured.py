@@ -219,11 +219,118 @@ class StaircaseEncoder:
         return jnp.concatenate([msg_bits.T.astype(jnp.uint8), par]).T
 
 
+class NRCoreExtensionEncoder:
+    """5G NR encoder (38.212 shape): solve the 4-row dual-diagonal core
+    parity, then extension parities drop out directly (their columns are
+    degree-1 identities). O(n), roll/XOR only. Handles filler bits: the
+    message is k bits, the info-section tail (shortened_cols) is zero.
+    """
+
+    def __init__(self, spec: CodeSpec, validate: bool = True):
+        qc = spec.qc
+        if qc is None:
+            raise ValueError(f"{spec.name}: not a QC code")
+        base = qc.base
+        mb, nb = base.shape
+        # infer kb: parity section = 4 core + (mb-4) identity columns
+        kb = nb - mb
+        if mb < 5:
+            raise ValueError(f"{spec.name}: too few rows for NR structure")
+        # Core structure is defined by rows 0..3 only; extension rows may
+        # also touch the core-parity columns (as in the real BGs) — those
+        # entries are ordinary row_edges handled after the core solve.
+        core = base[:4]
+        col = core[:, kb]
+        nz = np.flatnonzero(col >= 0)
+        if not (list(nz) == [0, 1, 3] and list(col[nz]) == [1, 0, 1]):
+            raise ValueError(f"{spec.name}: no NR core special column")
+        for d, rows in [(1, [0, 1]), (2, [1, 2]), (3, [2, 3])]:
+            c = core[:, kb + d]
+            nz = np.flatnonzero(c >= 0)
+            if not (list(nz) == rows and not c[nz].any()):
+                raise ValueError(f"{spec.name}: core col {d} not staircase")
+        for r in range(4, mb):
+            c = base[:, kb + 4 + (r - 4)]
+            nz = np.flatnonzero(c >= 0)
+            if not (list(nz) == [r] and c[r] == 0):
+                raise ValueError(f"{spec.name}: extension col for row {r} missing")
+        self.spec = spec
+        self.Z, self.mb, self.kb = qc.Z, mb, kb
+        self.k = spec.k
+        self.n = nb * qc.Z
+        self.k_full = kb * qc.Z
+        # per-row entries over info + core-parity columns (j < kb+4)
+        self.row_edges = tuple(
+            tuple((int(j), int(base[i, j])) for j in range(kb + 4)
+                  if base[i, j] >= 0 and not (i < 4 and j >= kb))
+            for i in range(mb)
+        )
+        self._encode = jax.jit(self._encode_impl)
+        if validate:
+            rng = np.random.default_rng(0)
+            msg = rng.integers(0, 2, (2, self.k), dtype=np.uint8)
+            cw = self.encode_numpy(msg)
+            if not spec.check_syndrome(cw):
+                raise AssertionError(f"{spec.name}: NR encode violates H")
+
+    def __call__(self, msg_bits):
+        return self._encode(msg_bits)
+
+    def extract_message(self, codeword_bits):
+        return codeword_bits[..., : self.k]
+
+    def _solve(self, u, roll, zeros, stack):
+        """Shared core/extension solve; u: [kb+4 blocks grow] slabs list."""
+        Z, kb = self.Z, self.kb
+        s = [zeros() for _ in range(self.mb)]
+        for i in range(4):
+            for j, sh in self.row_edges[i]:
+                s[i] = s[i] ^ roll(u[j], -sh)
+        p0 = s[0] ^ s[1] ^ s[2] ^ s[3]
+        p1 = s[0] ^ roll(p0, -1)
+        p2 = s[1] ^ p0 ^ p1
+        p3 = s[2] ^ p2
+        core = [p0, p1, p2, p3]
+        cols = u + core
+        ext = []
+        for r in range(4, self.mb):
+            sr = zeros()
+            for j, sh in self.row_edges[r]:
+                sr = sr ^ roll(cols[j], -sh)
+            ext.append(sr)
+        return stack(core + ext)
+
+    def encode_numpy(self, msg_bits: np.ndarray) -> np.ndarray:
+        B = msg_bits.shape[0]
+        full = np.zeros((B, self.k_full), np.uint8)
+        full[:, : self.k] = msg_bits
+        u = [full.T[j * self.Z : (j + 1) * self.Z] for j in range(self.kb)]
+        par = self._solve(
+            u, lambda x, s: np.roll(x, s, axis=0),
+            lambda: np.zeros((self.Z, B), np.uint8),
+            lambda slabs: np.concatenate(slabs, axis=0),
+        )
+        return np.concatenate([full.T, par]).T
+
+    def _encode_impl(self, msg_bits):
+        B = msg_bits.shape[0]
+        full = jnp.zeros((B, self.k_full), jnp.uint8)
+        full = full.at[:, : self.k].set(msg_bits.astype(jnp.uint8))
+        u = [full.T[j * self.Z : (j + 1) * self.Z] for j in range(self.kb)]
+        par = self._solve(
+            u, lambda x, s: jnp.roll(x, s, axis=0),
+            lambda: jnp.zeros((self.Z, B), jnp.uint8),
+            lambda slabs: jnp.concatenate(slabs, axis=0),
+        )
+        return jnp.concatenate([full.T, par]).T
+
+
 def build_encoder(spec: CodeSpec):
     """Pick the right encoder for a code: structured when the QC skeleton
-    allows it (dual-diagonal or staircase), dense generator otherwise."""
+    allows it (dual-diagonal, staircase, or NR core+extension), dense
+    generator otherwise."""
     if spec.qc is not None:
-        for cls in (DualDiagonalEncoder, StaircaseEncoder):
+        for cls in (DualDiagonalEncoder, StaircaseEncoder, NRCoreExtensionEncoder):
             try:
                 return cls(spec)
             except ValueError:

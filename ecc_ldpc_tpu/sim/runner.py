@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..chan import awgn_llr
+from ..chan.awgn import make_channel
 from ..codes import get_code
 from ..decode import get_decoder
 from ..encode import DenseEncoder
@@ -123,13 +124,14 @@ def _ldpc_pipeline(spec: SweepSpec) -> Pipeline:
     overrides = {"backend": spec.backend} if spec.backend else {}
     dec = get_decoder(graph, spec.decoder, jit=False, **overrides)
     B, k, rate = spec.batch, code.k, code.rate
+    channel = make_channel(code)  # honors punctured/shortened positions
 
     @jax.jit
     def step(key, ebn0_db):
         kmsg, kchan = jax.random.split(key)
         msg = jax.random.bernoulli(kmsg, 0.5, (B, k)).astype(jnp.uint8)
         cw = enc(msg)
-        llr = awgn_llr(kchan, cw, ebn0_db, rate)
+        llr = channel(kchan, cw, ebn0_db)
         res = dec(llr)
         msg_hat = enc.extract_message(res.bits)
         diff = msg_hat != msg

@@ -1,0 +1,98 @@
+"""5G NR family tests (SURVEY.md §4.2 item 1, config 5)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ecc_ldpc_tpu.chan.awgn import make_channel
+from ecc_ldpc_tpu.codes.nr5g import LIFTING_SIZES, nr5g
+from ecc_ldpc_tpu.encode.structured import NRCoreExtensionEncoder, build_encoder
+
+
+def test_lifting_sizes_standard():
+    # the 51 standard values: a*2^j, a in {2,3,5,7,9,11,13,15}, <= 384
+    assert len(LIFTING_SIZES) == 51
+    assert LIFTING_SIZES[0] == 2 and LIFTING_SIZES[-1] == 384
+    assert 208 in LIFTING_SIZES and 104 in LIFTING_SIZES
+    assert 100 not in LIFTING_SIZES
+
+
+def test_bg_geometry():
+    s1 = nr5g("bg1", 384)
+    assert s1.qc.base.shape == (46, 68)
+    assert s1.k == 22 * 384
+    assert abs(s1.rate - 1 / 3) < 1e-9  # mother rate with 2Zc puncture
+    s2 = nr5g("bg2", 384)
+    assert s2.qc.base.shape == (42, 52)
+    assert s2.k == 10 * 384
+    assert abs(s2.rate - 1 / 5) < 1e-9
+
+
+@pytest.mark.parametrize("bg,Zc", [("bg1", 384), ("bg2", 208), ("bg1", 56)])
+def test_encoder_validates(bg, Zc):
+    spec = nr5g(bg, Zc)
+    enc = build_encoder(spec)
+    assert isinstance(enc, NRCoreExtensionEncoder)
+    key = jax.random.key(0)
+    msg = jax.random.bernoulli(key, 0.5, (3, spec.k)).astype(jnp.uint8)
+    cw = enc(msg)
+    assert spec.check_syndrome(np.asarray(cw))
+    assert np.array_equal(np.asarray(cw), enc.encode_numpy(np.asarray(msg)))
+
+
+def test_filler_bits():
+    spec = nr5g("bg1", 384, k=8000)
+    assert spec.k == 8000
+    assert len(spec.shortened_cols) == 22 * 384 - 8000
+    enc = build_encoder(spec)
+    key = jax.random.key(1)
+    msg = jax.random.bernoulli(key, 0.5, (2, 8000)).astype(jnp.uint8)
+    cw = np.asarray(enc(msg))
+    # filler positions carry zeros
+    assert not cw[:, np.asarray(spec.shortened_cols)].any()
+    assert spec.check_syndrome(cw)
+
+
+def test_rate_matching_puncture():
+    spec = nr5g("bg1", 384, k=8448, n_tx=12000)
+    assert abs(spec.rate - 8448 / 12000) < 1e-9
+    # leading 2Zc always punctured
+    assert set(range(2 * 384)).issubset(set(spec.punctured_cols))
+    with pytest.raises(ValueError):
+        nr5g("bg1", 384, n_tx=10**6)
+
+
+def test_channel_masking():
+    spec = nr5g("bg2", 52, k=400)
+    ch = make_channel(spec)
+    cw = jnp.zeros((4, spec.n), jnp.uint8)
+    llr = np.asarray(ch(jax.random.key(0), cw, 3.0))
+    assert np.all(llr[:, np.asarray(spec.punctured_cols)] == 0.0)
+    assert np.all(llr[:, np.asarray(spec.shortened_cols)] == 60.0)
+
+
+def test_punctured_decode_recovers_message():
+    """The 2Zc punctured systematic bits must be recovered by BP."""
+    from ecc_ldpc_tpu.decode import make_decoder
+    from ecc_ldpc_tpu.graph import compile_graph
+
+    spec = nr5g("bg2", 32)
+    enc = build_encoder(spec)
+    graph = compile_graph(spec)
+    ch = make_channel(spec)
+    key = jax.random.key(3)
+    msg = jax.random.bernoulli(key, 0.5, (16, spec.k)).astype(jnp.uint8)
+    cw = enc(msg)
+    llr = ch(jax.random.fold_in(key, 1), cw, 4.0)
+    res = make_decoder(graph, "minsum", alpha=0.8125, max_iters=30)(llr)
+    got = np.asarray(enc.extract_message(res.bits))
+    assert (got == np.asarray(msg)).all(axis=1).mean() > 0.9
+
+
+def test_bad_args():
+    with pytest.raises(ValueError):
+        nr5g("bg3", 384)
+    with pytest.raises(ValueError):
+        nr5g("bg1", 100)
+    with pytest.raises(ValueError):
+        nr5g("bg1", 384, k=0)
