@@ -55,9 +55,20 @@ def cmd_sweep(args) -> int:
                 if args.verbose:
                     print(format_table([pr]).splitlines()[-1], flush=True)
 
-            all_results += run_sweep(
-                spec, resume_path=args.resume, progress=progress
-            )
+            if args.mesh:
+                from ..dist import MeshSpec, make_mesh, maybe_init_distributed
+                from ..sim.runner import run_sweep_sharded
+
+                maybe_init_distributed()
+                b, s = (int(x) for x in args.mesh.split("x"))
+                mesh = make_mesh(MeshSpec(batch=b, snr=s))
+                all_results += run_sweep_sharded(
+                    spec, mesh, resume_path=args.resume, progress=progress
+                )
+            else:
+                all_results += run_sweep(
+                    spec, resume_path=args.resume, progress=progress
+                )
     print(format_table(all_results))
     if args.out:
         save_results(all_results, args.out)
@@ -110,6 +121,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--max-frames", type=int, default=1_000_000)
     sp.add_argument("--out", default=None, help="write results JSON here")
     sp.add_argument("--resume", default=None, help="sweep state file")
+    sp.add_argument("--mesh", default=None,
+                    help="pod-sharded sweep over a BATCHxSNR device mesh, "
+                         "e.g. '4x2' (config 5); initializes multi-host "
+                         "rendezvous when launched one process per host")
     sp.set_defaults(fn=cmd_sweep)
 
     sp = sub.add_parser("codes", help="list registered code families")

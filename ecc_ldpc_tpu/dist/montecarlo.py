@@ -33,7 +33,10 @@ def per_frame_keys(point_key: jax.Array, frame_start, batch: int) -> jax.Array:
     return jax.vmap(lambda i: jax.random.fold_in(base, i))(idx)
 
 
-def _point_counters(enc, dec, rate, k, batch, point_key, frame_start, ebn0_db):
+def _point_counters(
+    enc, dec, rate, k, batch, point_key, frame_start, ebn0_db,
+    punct=None, short=None,
+):
     """Counters for `batch` frames of one grid point on one device."""
     keys = per_frame_keys(point_key, frame_start, batch)
     kmsg = jax.vmap(lambda kk: jax.random.fold_in(kk, 0))(keys)
@@ -43,6 +46,10 @@ def _point_counters(enc, dec, rate, k, batch, point_key, frame_start, ebn0_db):
     )(kmsg)
     cw = enc(msg)
     llr = jax.vmap(lambda kk, c: awgn_llr(kk, c, ebn0_db, rate))(kchan, cw)
+    if punct is not None and len(punct):
+        llr = llr.at[:, punct].set(0.0)
+    if short is not None and len(short):
+        llr = llr.at[:, short].set(60.0)
     res = dec(llr)
     msg_hat = enc.extract_message(res.bits)
     diff = msg_hat != msg
@@ -60,6 +67,8 @@ def make_sharded_step(
     k: int,
     mesh: jax.sharding.Mesh,
     batch_per_device: int,
+    punct=None,
+    short=None,
 ) -> Callable:
     """Build step(root_key, ebn0_grid, step_index) -> (bit_errs, frame_errs,
     iters_sum), each int32 [n_snr_points].
@@ -94,6 +103,7 @@ def make_sharded_step(
             be, fe, it = _point_counters(
                 enc, dec, rate, k, batch_per_device,
                 point_key, frame_start, ebn0_shard[p],
+                punct=punct, short=short,
             )
             return jnp.stack([be, fe, it])
 

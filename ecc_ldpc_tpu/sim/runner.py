@@ -222,6 +222,98 @@ def run_sweep(
     return results
 
 
+def run_sweep_sharded(
+    spec: SweepSpec,
+    mesh,
+    *,
+    resume_path: Optional[str] = None,
+    progress: Optional[Callable[[PointResult], None]] = None,
+) -> list:
+    """Pod-sharded sweep (config 5, BASELINE.json:11): the whole Eb/N0 grid
+    advances together — codewords sharded over the 'batch' mesh axis, grid
+    points over 'snr', counters psum-reduced over ICI. Running "finished"
+    points costs nothing extra (their chips would otherwise idle), so the
+    loop continues until EVERY point satisfies the stopping rule.
+
+    Counters are bit-identical to run_sweep-with-the-same-frame-count on
+    any mesh shape (per-frame PRNG keyed on global indices; tests/dist/).
+    """
+    from ..decode.api import parse_decoder_spec
+    from ..dist.montecarlo import make_sharded_step
+    from ..encode.structured import build_encoder
+    from ..graph.qc import compile_qc_graph
+
+    code = get_code(spec.code)
+    if parse_decoder_spec(spec.decoder)["kind"] == "layered":
+        graph = compile_qc_graph(code)
+    else:
+        graph = compile_graph(code)
+    enc = build_encoder(code)
+    overrides = {"backend": spec.backend} if spec.backend else {}
+    dec = get_decoder(graph, spec.decoder, jit=False, **overrides)
+
+    n_batch = mesh.shape["batch"]
+    n_snr = mesh.shape["snr"]
+    if len(spec.ebn0_db) % n_snr:
+        raise ValueError(
+            f"{len(spec.ebn0_db)} grid points do not divide over snr={n_snr}"
+        )
+    if spec.batch % n_batch:
+        raise ValueError(f"batch {spec.batch} does not divide over {n_batch}")
+    import numpy as _np
+
+    step = jax.jit(make_sharded_step(
+        enc, dec, code.rate, code.k, mesh, spec.batch // n_batch,
+        punct=_np.asarray(code.punctured_cols, _np.int32),
+        short=_np.asarray(code.shortened_cols, _np.int32),
+    ))
+
+    state = _load_state(resume_path)
+    results = [
+        PointResult(code=spec.code, decoder=spec.decoder, ebn0_db=float(e),
+                    message_bits_per_frame=code.k)
+        for e in spec.ebn0_db
+    ]
+    for pr, e in zip(results, spec.ebn0_db):
+        saved = state.get(spec.point_key(e))
+        if saved:
+            for f in ("frames", "bit_errors", "frame_errors", "iters_sum",
+                      "steps", "wall_s"):
+                setattr(pr, f, saved[f])
+    root = jax.random.key(spec.seed)
+    grid = jnp.asarray(spec.ebn0_db, jnp.float32)
+    step_idx = min(pr.steps for pr in results)
+    while not all(
+        spec.stopping.done(pr.frame_errors, pr.frames) for pr in results
+    ):
+        t0 = time.perf_counter()
+        be, fe, it = step(root, grid, jnp.int32(step_idx))
+        be, fe, it = np.asarray(be), np.asarray(fe), np.asarray(it)
+        dt = time.perf_counter() - t0
+        for i, pr in enumerate(results):
+            if pr.steps > step_idx:  # already counted (resume overlap)
+                continue
+            pr.frames += spec.batch
+            pr.bit_errors += int(be[i])
+            pr.frame_errors += int(fe[i])
+            pr.iters_sum += int(it[i])
+            pr.steps += 1
+            pr.wall_s += dt / len(results)
+        step_idx += 1
+        if resume_path:
+            for pr, e in zip(results, spec.ebn0_db):
+                state[spec.point_key(e)] = {
+                    f: getattr(pr, f)
+                    for f in ("frames", "bit_errors", "frame_errors",
+                              "iters_sum", "steps", "wall_s")
+                }
+            _save_state(resume_path, state)
+    if progress:
+        for pr in results:
+            progress(pr)
+    return results
+
+
 def _load_state(path) -> dict:
     if path and os.path.exists(path):
         with open(path) as f:
