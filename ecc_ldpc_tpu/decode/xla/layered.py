@@ -75,12 +75,23 @@ def decode_layered(
     iters0 = (total0[0, 0] * 0).astype(jnp.int32)  # varying-axes-safe zero
 
     def sweep(total, C):
+        """One layered iteration. Also accumulates the ON-THE-FLY syndrome:
+        each layer's parity evaluated on the posteriors as that layer is
+        processed (the standard hardware early-termination criterion —
+        costs nothing extra vs. a separate post-sweep syndrome pass). The
+        Pallas twin implements the identical accumulation."""
+        fail = jnp.zeros((total.shape[-1],), jnp.float32)
         for i in range(graph.mb):
             edges = graph.layer_edges(i)
-            # extrinsic inputs, check-aligned: roll posteriors to the check
-            # frame and subtract this check's previous output
+            rolled = [jnp.roll(total[col], -s, axis=0) for e, col, s in edges]
+            acc = 0.0
+            for r in rolled:
+                acc = acc + (r < 0).astype(jnp.float32)
+            par = acc - 2.0 * jnp.floor(acc * 0.5)
+            fail = jnp.maximum(fail, jnp.max(par, axis=0))
+            # extrinsic inputs, check-aligned
             Vt = jnp.stack(
-                [jnp.roll(total[col], -s, axis=0) - C[e] for e, col, s in edges]
+                [r - C[e] for r, (e, col, s) in zip(rolled, edges)]
             )  # [d, Z, B]
             Cnew = _cn_minsum_axis0(Vt, alpha, beta)
             # posterior update: add the message delta, rolled back to the
@@ -89,12 +100,11 @@ def decode_layered(
             for j, (e, col, s) in enumerate(edges):
                 total = total.at[col].add(jnp.roll(Cnew[j] - C[e], s, axis=0))
                 C = C.at[e].set(Cnew[j])
-        return total, C
+        return total, C, fail > 0.5
 
     def body(state):
         total, C, done, iters = state
-        new_total, newC = sweep(total, C)
-        fail = _syndrome_fail(graph, new_total)
+        new_total, newC, fail = sweep(total, C)
         keep = done[None, None, :]  # [1,1,B] broadcasts over both states
         total = jnp.where(keep, total, new_total)
         C = jnp.where(keep, C, newC)
@@ -102,19 +112,30 @@ def decode_layered(
         done = done | ~fail
         return total, C, done, iters
 
-    state = (total0, C0, done0, iters0)
     if early_term:
+        state = (total0, C0, done0, iters0)
+
         def cond(state):
             _, _, done, iters = state
             return (iters.max() < max_iters) & ~jnp.all(done)
 
-        state = jax.lax.while_loop(cond, body, state)
+        total, _, done, iters = jax.lax.while_loop(cond, body, state)
     else:
-        state = jax.lax.fori_loop(0, max_iters, lambda _, s: body(s), state)
+        # pure fixed-iteration mode (the benchmark configuration): no
+        # freeze, no per-iteration syndrome — literally max_iters sweeps.
+        # The Pallas twin implements the same.
+        def pure_body(_, st):
+            total, C = st
+            total, C, _ = sweep(total, C)
+            return total, C
 
-    total, _, done, iters = state
+        total, _ = jax.lax.fori_loop(0, max_iters, pure_body, (total0, C0))
+        iters = jnp.full((B,), max_iters, jnp.int32) + iters0
     bits = (total.reshape(nb * Z, B) < 0).astype(jnp.uint8).T
-    return DecodeResult(bits=bits, ok=done, iterations=iters)
+    # `done` tracks the on-the-fly criterion (freeze/iteration accounting);
+    # ok reports the true posterior syndrome of the emitted bits.
+    ok = ~_syndrome_fail(graph, total)
+    return DecodeResult(bits=bits, ok=ok, iterations=iters)
 
 
 def make_layered_decoder(
