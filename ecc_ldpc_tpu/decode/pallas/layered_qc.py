@@ -2,21 +2,27 @@
 (SURVEY.md §2.2 C18 — the DVB-S2 / long-block performance path).
 
 All decode state lives in VMEM for the whole decode: posteriors
-total [nb, Z, Bt] and check-aligned messages C [BE, Z, Bt]. Circulant
-addressing is pltpu.roll along the sublane (Z) axis with shifts streamed
-from SMEM scalar-prefetch arrays — the layer sweep is a compact
-fori/unrolled loop, NOT a per-edge unroll, so compile time is independent
-of the graph and one binary serves every (code, Z) with the same
-(mb, dcb_max, BE, Z) signature.
+total [nb, Z, Bt] (f32) and check-aligned messages C [BE, Z, Bt]
+(bf16-storable). Circulant addressing is pltpu.roll along the sublane (Z)
+axis with shifts streamed from SMEM scalar prefetch.
 
-Constraints (probed on hardware, see git history): dynamic-shift roll
-requires Z % 8 == 0 — true for DVB-S2 (Z=360) and the large 5G NR lifting
-sizes; small-Z codes (802.11n Z=27..81) use the fused_mm flooding kernel or
-the XLA layered tier instead. supports() encodes the gate.
+Layer sweeps are DEGREE-GROUPED: block-rows are processed in the canonical
+degree-sorted order (QCGraph.layer_order, shared with the XLA oracle), one
+fori loop per degree group whose body is unrolled to exactly that degree —
+no padding slots and no validity masks anywhere in the hot loop. For ragged
+graphs (5G NR: degree-3 extension rows next to degree-19 core rows) this
+removes a multiple of wasted work.
 
-Numerics are f32 with the exact op ordering of decode/xla/layered.py
-(running two-min == is-min/count formulation in exact arithmetic), so
-interpret-mode results are bit-identical to the oracle — tests/pallas/.
+Modes (identical semantics in decode/xla/layered.py):
+  early_term=True: on-the-fly syndrome accumulated during the sweep drives
+    per-lane freezing and a while_loop exit; ok is one truthful posterior
+    syndrome at the end.
+  early_term=False: literally max_iters sweeps of min-sum — no freeze, no
+    parity bookkeeping (the paper-comparable fixed-iteration benchmark).
+
+Hardware constraints (probed): dynamic-shift roll needs Z % 8 == 0; lane
+dim pads to 128. f32 message storage is bit-identical to the oracle
+(tests/pallas/); bf16 storage quantizes messages (BER-band tested).
 """
 from __future__ import annotations
 
@@ -53,13 +59,12 @@ def supports(graph: QCGraph, batch_tile: int = 128, msg_bytes: int = 2) -> bool:
 
 def _kernel(
     # scalar prefetch (SMEM)
-    row_be_ref,    # int32 [mb*dcb]   block-edge id per (layer, slot)
-    row_val_ref,   # int32 [mb*dcb]   1 if slot occupied
+    ge_be_ref,     # int32 [sum(deg*nrows)] edge ids, degree-grouped layout
     be_col_ref,    # int32 [BE]
-    be_shift_ref,  # int32 [BE]      forward shift s
-    be_shiftb_ref, # int32 [BE]      precomputed (Z - s) % Z
+    be_shift_ref,  # int32 [BE]   forward shift s
+    be_shiftb_ref, # int32 [BE]   precomputed (Z - s) % Z
     # VMEM in/out
-    llr_ref,       # bf16 [nb, Z, Bt]
+    llr_ref,       # llr_dtype [nb, Z, Bt]
     bits_ref,      # int8 [nb, Z, Bt]
     ok_ref,        # f32 [1, Bt]
     iters_ref,     # f32 [1, Bt]
@@ -67,86 +72,68 @@ def _kernel(
     total_s,       # f32 [nb, Z, Bt]
     C_s,           # msg_dtype [BE, Z, Bt]
     vrow_s,        # f32 [dcb, Z, Bt]
-    *, mb: int, nb: int, dcb: int, Z: int, Bt: int,
+    *, groups: tuple, nb: int, Z: int, Bt: int,
     alpha: float, beta: float, max_iters: int, early_term: bool,
 ):
     total_s[:] = llr_ref[:].astype(jnp.float32)
     C_s[:] = jnp.zeros_like(C_s)
 
     def syndrome_fail():
-        """f32 [1, Bt]: 1.0 where some check is unsatisfied."""
-        def layer(li, fail):
-            def slot(si, acc):
-                e = row_be_ref[li * dcb + si]
-                valid = (row_val_ref[li * dcb + si] == 1)
-                col = be_col_ref[e]
-                sb = be_shiftb_ref[e]
-                hard = (total_s[col] < 0).astype(jnp.float32)
-                contrib = pltpu.roll(hard, sb, 0)
-                return acc + jnp.where(valid, contrib, 0.0)
-            acc = jax.lax.fori_loop(0, dcb, slot, jnp.zeros((Z, Bt), jnp.float32))
-            par = acc - 2.0 * jnp.floor(acc * 0.5)
-            return jnp.maximum(fail, jnp.max(par, axis=0, keepdims=True))
-        return jax.lax.fori_loop(0, mb, layer, jnp.zeros((1, Bt), jnp.float32))
-
-    if early_term:
-        done0 = 1.0 - syndrome_fail()
-        iters0 = jnp.zeros((1, Bt), jnp.float32)
+        """f32 [1, Bt]: 1.0 where some check is unsatisfied (posteriors)."""
+        fail = jnp.zeros((1, Bt), jnp.float32)
+        for deg, nrows, off in groups:
+            def layer(li, fail, deg=deg, off=off):
+                acc = jnp.zeros((Z, Bt), jnp.float32)
+                for si in range(deg):
+                    e = ge_be_ref[off + li * deg + si]
+                    hard = (total_s[be_col_ref[e]] < 0).astype(jnp.float32)
+                    acc = acc + pltpu.roll(hard, be_shiftb_ref[e], 0)
+                par = acc - 2.0 * jnp.floor(acc * 0.5)
+                return jnp.maximum(fail, jnp.max(par, axis=0, keepdims=True))
+            fail = jax.lax.fori_loop(0, nrows, layer, fail)
+        return fail
 
     def sweep(frozen, track):
-        """One full layered iteration; `frozen` [1, Bt] lanes left unchanged.
-        Returns the ON-THE-FLY syndrome fail flag [1, Bt] accumulated from
-        each layer's parity as processed (identical accumulation to the XLA
-        oracle's sweep) — no separate syndrome pass needed. track=False
-        (fixed-iteration benchmark mode) skips parity/freeze bookkeeping
-        entirely — the literal '25 iterations of min-sum' configuration."""
-        def layer(li, fail):
-            # pass 1: extrinsic slabs + running two-min / sign / parity.
-            # Statically unrolled over slots (dcb is small): no inner-loop
-            # scalar overhead, lets Mosaic software-pipeline the rolls.
-            inf = jnp.full((Z, Bt), jnp.inf, jnp.float32)
-            zero = jnp.zeros((Z, Bt), jnp.float32)
-            min1, min2, negcnt, hardcnt = inf, inf, zero, zero
-            for si in range(dcb):
-                e = row_be_ref[li * dcb + si]
-                valid = (row_val_ref[li * dcb + si] == 1)
-                col = be_col_ref[e]
-                sb = be_shiftb_ref[e]
-                rolled = pltpu.roll(total_s[col], sb, 0)
-                slab = rolled - C_s[e].astype(jnp.float32)
-                vrow_s[si] = slab
-                a = jnp.where(valid, jnp.abs(slab), jnp.inf)
-                neg = jnp.where(valid & (slab < 0), 1.0, 0.0)
-                min2 = jnp.minimum(min2, jnp.maximum(min1, a))
-                min1 = jnp.minimum(min1, a)
-                negcnt = negcnt + neg
+        """One layered iteration over all degree groups; returns on-the-fly
+        fail [1, Bt] (meaningful when track=True)."""
+        keep = (frozen > 0.5) if track else None
+        fail = jnp.zeros((1, Bt), jnp.float32)
+        for deg, nrows, off in groups:
+            def layer(li, fail, deg=deg, off=off):
+                base = off + li * deg
+                # pass 1: extrinsic slabs + running two-min / sign / parity
+                inf = jnp.full((Z, Bt), jnp.inf, jnp.float32)
+                zero = jnp.zeros((Z, Bt), jnp.float32)
+                min1, min2, negcnt, hardcnt = inf, inf, zero, zero
+                for si in range(deg):
+                    e = ge_be_ref[base + si]
+                    rolled = pltpu.roll(total_s[be_col_ref[e]],
+                                        be_shiftb_ref[e], 0)
+                    slab = rolled - C_s[e].astype(jnp.float32)
+                    vrow_s[si] = slab
+                    a = jnp.abs(slab)
+                    min2 = jnp.minimum(min2, jnp.maximum(min1, a))
+                    min1 = jnp.minimum(min1, a)
+                    negcnt = negcnt + (slab < 0).astype(jnp.float32)
+                    if track:
+                        hardcnt = hardcnt + (rolled < 0).astype(jnp.float32)
                 if track:
-                    hard = jnp.where(valid & (rolled < 0), 1.0, 0.0)
-                    hardcnt = hardcnt + hard
-            if track:
-                hpar = hardcnt - 2.0 * jnp.floor(hardcnt * 0.5)
-                fail = jnp.maximum(fail, jnp.max(hpar, axis=0, keepdims=True))
-            par = negcnt - 2.0 * jnp.floor(negcnt * 0.5)
-            sgn_prod = 1.0 - 2.0 * par
-            min1c = jnp.minimum(min1, _MAG_CAP)
-            min2c = jnp.minimum(min2, _MAG_CAP)
-            mag1 = jnp.maximum(alpha * min1c - beta, 0.0)
-            mag2 = jnp.maximum(alpha * min2c - beta, 0.0)
+                    hpar = hardcnt - 2.0 * jnp.floor(hardcnt * 0.5)
+                    fail = jnp.maximum(
+                        fail, jnp.max(hpar, axis=0, keepdims=True)
+                    )
+                par = negcnt - 2.0 * jnp.floor(negcnt * 0.5)
+                sgn_prod = 1.0 - 2.0 * par
+                mag1 = jnp.maximum(alpha * jnp.minimum(min1, _MAG_CAP) - beta, 0.0)
+                mag2 = jnp.maximum(alpha * jnp.minimum(min2, _MAG_CAP) - beta, 0.0)
 
-            # pass 2: emit messages, update posteriors (static unroll)
-            keep = (frozen > 0.5) if track else None
-            for si in range(dcb):
-                e = row_be_ref[li * dcb + si]
-                valid_i = row_val_ref[li * dcb + si]
-                col = be_col_ref[e]
-                s = be_shift_ref[e]
-
-                @pl.when(valid_i == 1)
-                def _(si=si, e=e, col=col, s=s):
+                # pass 2: emit messages, update posteriors
+                for si in range(deg):
+                    e = ge_be_ref[base + si]
+                    col = be_col_ref[e]
                     v = vrow_s[si]
                     sv = jnp.where(v < 0, -1.0, 1.0)
-                    a = jnp.abs(v)
-                    mag = jnp.where(a == min1, mag2, mag1)
+                    mag = jnp.where(jnp.abs(v) == min1, mag2, mag1)
                     Cold = C_s[e].astype(jnp.float32)
                     Cnew = (sgn_prod * sv) * mag
                     if track:
@@ -154,13 +141,18 @@ def _kernel(
                     # quantize through storage dtype BEFORE the posterior
                     # update so total and C stay consistent
                     Cq = Cnew.astype(C_s.dtype).astype(jnp.float32)
-                    delta = pltpu.roll(Cq - Cold, s, 0)
-                    total_s[col] = total_s[col] + delta
+                    total_s[col] = total_s[col] + pltpu.roll(
+                        Cq - Cold, be_shift_ref[e], 0
+                    )
                     C_s[e] = Cq.astype(C_s.dtype)
-            return fail
-        return jax.lax.fori_loop(0, mb, layer, jnp.zeros((1, Bt), jnp.float32))
+                return fail
+            fail = jax.lax.fori_loop(0, nrows, layer, fail)
+        return fail
 
     if early_term:
+        done0 = 1.0 - syndrome_fail()
+        iters0 = jnp.zeros((1, Bt), jnp.float32)
+
         def body(carry):
             done, iters, it = carry
             fail = sweep(done, True)
@@ -171,14 +163,17 @@ def _kernel(
         def cond(carry):
             done, _, it = carry
             return (it < max_iters) & (jnp.min(done) < 0.5)
-        carry = jax.lax.while_loop(cond, body, (done0, iters0, jnp.zeros((), jnp.int32)))
-        done, iters, _ = carry
+
+        _, iters, _ = jax.lax.while_loop(
+            cond, body, (done0, iters0, jnp.zeros((), jnp.int32))
+        )
     else:
-        # pure fixed-iteration mode: no freeze, no per-iteration syndrome
+        # pure fixed-iteration benchmark mode
         jax.lax.fori_loop(
             0, max_iters, lambda _, c: (sweep(None, False), c)[1], 0
         )
         iters = jnp.full((1, Bt), float(max_iters), jnp.float32)
+
     bits_ref[:] = (total_s[:] < 0).astype(bits_ref.dtype)
     # truthful ok: one final posterior syndrome over the emitted bits
     ok_ref[:] = 1.0 - syndrome_fail()
@@ -211,25 +206,25 @@ def make_layered_pallas_decoder(
             f"{graph.name}: pallas layered kernel needs Z % 8 == 0 (got Z="
             f"{graph.Z}); use the xla layered tier or the fused_mm kernel"
         )
-    Z, nb, mb, dcb = graph.Z, graph.nb, graph.mb, graph.dcb_max
+    Z, nb, dcb = graph.Z, graph.nb, graph.dcb_max
     BE = graph.num_block_edges
 
-    row_be = np.zeros(mb * dcb, np.int32)
-    row_val = np.zeros(mb * dcb, np.int32)
-    rb = np.asarray(graph.row_be)
-    rm = np.asarray(graph.row_mask)
-    for i in range(mb):
-        for j in range(dcb):
-            row_be[i * dcb + j] = rb[i, j]
-            row_val[i * dcb + j] = int(rm[i, j])
-    row_be = jnp.asarray(row_be)
-    row_val = jnp.asarray(row_val)
+    # degree-grouped edge layout (same order as QCGraph.layer_order)
+    ge_be = []
+    groups = []
+    for deg, rows in graph.layer_groups:
+        groups.append((deg, len(rows), len(ge_be)))
+        for r in rows:
+            for e, _, _ in graph.layer_edges(r):
+                ge_be.append(e)
+    groups = tuple(groups)
+    ge_be = jnp.asarray(np.asarray(ge_be, np.int32))
     be_col = jnp.asarray(graph.be_col)
     be_shift = jnp.asarray(graph.be_shift)
     be_shiftb = jnp.asarray((Z - np.asarray(graph.be_shift)) % Z)
 
     kern = functools.partial(
-        _kernel, mb=mb, nb=nb, dcb=dcb, Z=Z, Bt=batch_tile,
+        _kernel, groups=groups, nb=nb, Z=Z, Bt=batch_tile,
         alpha=alpha, beta=beta, max_iters=max_iters, early_term=early_term,
     )
     msg_bytes = jnp.dtype(msg_dtype).itemsize
@@ -240,7 +235,7 @@ def make_layered_pallas_decoder(
     )
     vmem_limit = min(state_bytes + (1 << 23), 120 * 1024 * 1024)
 
-    def decode_impl(llr, row_be, row_val, be_col, be_shift, be_shiftb):
+    def decode_impl(llr, ge_be, be_col, be_shift, be_shiftb):
         B = llr.shape[0]
         B_pad = _round_up(max(B, batch_tile), batch_tile)
         llr3 = jnp.zeros((nb, Z, B_pad), llr_dtype)
@@ -251,7 +246,7 @@ def make_layered_pallas_decoder(
         if itp is None:
             itp = jax.default_backend() != "tpu"
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,
+            num_scalar_prefetch=4,
             grid=(B_pad // batch_tile,),
             in_specs=[
                 pl.BlockSpec((nb, Z, batch_tile), lambda b, *_: (0, 0, b),
@@ -283,7 +278,7 @@ def make_layered_pallas_decoder(
                 vmem_limit_bytes=int(vmem_limit),
             ),
             interpret=itp,
-        )(row_be, row_val, be_col, be_shift, be_shiftb, llr3)
+        )(ge_be, be_col, be_shift, be_shiftb, llr3)
         return DecodeResult(
             bits=(bits.reshape(nb * Z, B_pad)[:, :B] > 0).astype(jnp.uint8).T,
             ok=ok[0, :B] > 0.5,
@@ -293,6 +288,6 @@ def make_layered_pallas_decoder(
     impl = jax.jit(decode_impl) if jit else decode_impl
 
     def decode(llr):
-        return impl(llr, row_be, row_val, be_col, be_shift, be_shiftb)
+        return impl(llr, ge_be, be_col, be_shift, be_shiftb)
 
     return decode

@@ -81,7 +81,7 @@ def decode_layered(
         costs nothing extra vs. a separate post-sweep syndrome pass). The
         Pallas twin implements the identical accumulation."""
         fail = jnp.zeros((total.shape[-1],), jnp.float32)
-        for i in range(graph.mb):
+        for i in graph.layer_order:
             edges = graph.layer_edges(i)
             rolled = [jnp.roll(total[col], -s, axis=0) for e, col, s in edges]
             acc = 0.0

@@ -70,6 +70,29 @@ class QCGraph:
                 out.append((e, self.be_col_np[e], self.be_shift_np[e]))
         return out
 
+    @property
+    def layer_order(self):
+        """Canonical layered processing order: block-rows stably sorted by
+        degree. Degree-grouping lets the Pallas kernel run one exact-degree
+        unrolled loop per group (no padding slots, no validity masks); the
+        XLA oracle iterates the same order so both tiers share fixed
+        points. Any fixed row order is a valid layered schedule."""
+        degs = [len(self.layer_edges(i)) for i in range(self.mb)]
+        return tuple(sorted(range(self.mb), key=lambda i: degs[i]))
+
+    @property
+    def layer_groups(self):
+        """(degree, rows_tuple) groups following layer_order."""
+        order = self.layer_order
+        groups = []
+        for i in order:
+            d = len(self.layer_edges(i))
+            if groups and groups[-1][0] == d:
+                groups[-1][1].append(i)
+            else:
+                groups.append((d, [i]))
+        return tuple((d, tuple(rows)) for d, rows in groups)
+
 
 def compile_qc_graph(spec: CodeSpec) -> QCGraph:
     qc: QCCode = spec.qc
