@@ -1,0 +1,79 @@
+"""Graph-parallel (edge-sharded) decode tests on a virtual CPU mesh
+(SURVEY.md §4.2 item 4b)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ecc_ldpc_tpu.chan import awgn_llr
+from ecc_ldpc_tpu.codes import gallager_36
+from ecc_ldpc_tpu.decode import make_decoder
+from ecc_ldpc_tpu.dist.graph_parallel import make_graph_parallel_decoder, shard_graph
+from ecc_ldpc_tpu.encode import DenseEncoder
+from ecc_ldpc_tpu.graph import compile_graph
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 (virtual) devices"
+)
+
+
+@pytest.fixture(scope="module")
+def code():
+    spec = gallager_36(96, seed=8)
+    return spec, DenseEncoder.build(spec)
+
+
+def _mesh(D):
+    return jax.make_mesh((D,), ("graph",), devices=jax.devices()[:D])
+
+
+def test_shard_graph_covers_all_checks(code):
+    spec, _ = code
+    sg = shard_graph(spec, 4)
+    assert sg.cn_mask.sum() == spec.num_edges
+    g = compile_graph(spec)
+    stacked = sg.cn_vn.reshape(-1, sg.dc_max)[: g.m]
+    assert np.array_equal(stacked, np.asarray(g.cn_vn))
+
+
+def test_graph_parallel_decodes(code):
+    spec, enc = code
+    dec = make_graph_parallel_decoder(spec, _mesh(4), max_iters=20,
+                                      kind="minsum", alpha=0.8125)
+    key = jax.random.key(0)
+    msg = jax.random.bernoulli(key, 0.5, (16, spec.k)).astype(jnp.uint8)
+    cw = enc(msg)
+    # noiseless
+    llr0 = (1.0 - 2.0 * cw.astype(jnp.float32)) * 8.0
+    r0 = dec(llr0)
+    assert np.all(np.asarray(r0.ok))
+    assert np.array_equal(np.asarray(r0.bits), np.asarray(cw))
+    assert np.asarray(r0.iterations).max() == 0
+    # AWGN: matches the single-device flooding decoder on ok frames
+    llr = awgn_llr(jax.random.fold_in(key, 1), cw, 3.0, spec.rate)
+    r = dec(llr)
+    single = make_decoder(compile_graph(spec), "minsum", alpha=0.8125,
+                          max_iters=20, backend="xla")(llr)
+    ok = np.asarray(r.ok) & np.asarray(single.ok)
+    assert ok.mean() > 0.8
+    assert np.array_equal(np.asarray(r.bits)[ok], np.asarray(single.bits)[ok])
+    assert spec.check_syndrome(np.asarray(r.bits)[np.asarray(r.ok)])
+
+
+def test_graph_parallel_shard_count_invariant(code):
+    """Decoded bits agree across shard counts (f32 reduction order can
+    differ; require agreement on syndrome-ok frames, which is exact)."""
+    spec, enc = code
+    key = jax.random.key(5)
+    msg = jax.random.bernoulli(key, 0.5, (16, spec.k)).astype(jnp.uint8)
+    cw = enc(msg)
+    llr = awgn_llr(jax.random.fold_in(key, 2), cw, 3.5, spec.rate)
+    outs = []
+    for D in (2, 4, 8):
+        r = make_graph_parallel_decoder(spec, _mesh(D), max_iters=15,
+                                        kind="minsum", alpha=0.8125)(llr)
+        outs.append((np.asarray(r.bits), np.asarray(r.ok)))
+    ok = outs[0][1] & outs[1][1] & outs[2][1]
+    assert ok.mean() > 0.8
+    for bits, _ in outs[1:]:
+        assert np.array_equal(outs[0][0][ok], bits[ok])
