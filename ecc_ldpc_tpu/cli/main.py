@@ -76,6 +76,28 @@ def cmd_sweep(args) -> int:
     return 0
 
 
+def cmd_compare(args) -> int:
+    """BER/FER-curve parity mode (SURVEY.md §2.2 C23): the mechanical form
+    of the reference's overlapping-curves validation — two result sets
+    match iff their Wilson CIs overlap at every shared Eb/N0 point."""
+    import json
+
+    from ..sim import curves_overlap
+    from ..sim.runner import PointResult
+
+    def load(path):
+        with open(path) as f:
+            return [PointResult.from_json(d) for d in json.load(f)]
+
+    a, b = load(args.results[0]), load(args.results[1])
+    rc = 0
+    for metric in ("fer", "ber"):
+        ok = curves_overlap(a, b, metric=metric)
+        print(f"{metric.upper()} curves overlap: {'YES' if ok else 'NO'}")
+        rc |= 0 if ok else 1
+    return rc
+
+
 def cmd_codes(args) -> int:
     from ..codes import list_codes
 
@@ -129,6 +151,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("codes", help="list registered code families")
     sp.set_defaults(fn=cmd_codes)
+
+    sp = sub.add_parser(
+        "compare", help="BER/FER-curve parity check between two result files"
+    )
+    sp.add_argument("results", nargs=2, help="two results JSON files")
+    sp.set_defaults(fn=cmd_compare)
 
     sp = sub.add_parser("bench", help="decoded-throughput benchmark")
     common(sp)

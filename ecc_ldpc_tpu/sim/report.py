@@ -38,8 +38,25 @@ def results_to_json(results: Sequence[PointResult]) -> str:
 
 
 def save_results(results: Sequence[PointResult], path: str) -> None:
-    with open(path, "w") as f:
-        f.write(results_to_json(results))
+    if path.endswith(".csv"):
+        with open(path, "w") as f:
+            f.write(results_to_csv(results))
+    else:
+        with open(path, "w") as f:
+            f.write(results_to_json(results))
+
+
+_CSV_FIELDS = (
+    "code decoder ebn0_db frames bit_errors frame_errors ber fer "
+    "mean_iters wall_s".split()
+)
+
+
+def results_to_csv(results: Sequence[PointResult]) -> str:
+    lines = [",".join(_CSV_FIELDS)]
+    for r in results:
+        lines.append(",".join(str(getattr(r, f)) for f in _CSV_FIELDS))
+    return "\n".join(lines) + "\n"
 
 
 def curves_overlap(

@@ -90,6 +90,11 @@ class PointResult:
                  ber_ci=self.ber_ci, fer_ci=self.fer_ci)
         return d
 
+    @staticmethod
+    def from_json(d: dict) -> "PointResult":
+        fields = {f.name for f in dataclasses.fields(PointResult)}
+        return PointResult(**{k: v for k, v in d.items() if k in fields})
+
 
 class Pipeline:
     """encode -> channel -> decode -> tally for one (code, decoder) pair.
