@@ -18,8 +18,11 @@ import argparse
 import sys
 
 
-def parse_ebn0(text: str) -> tuple:
-    """'0:4:0.5' (start:stop:step, inclusive) or '1,2,3.5'."""
+def parse_ebn0(text) -> tuple:
+    """'0:4:0.5' (start:stop:step, inclusive), '1,2,3.5', or a list
+    (from --config JSON files)."""
+    if isinstance(text, (list, tuple)):
+        return tuple(float(x) for x in text)
     if ":" in text:
         parts = [float(x) for x in text.split(":")]
         start, stop = parts[0], parts[1]
@@ -33,11 +36,26 @@ def parse_ebn0(text: str) -> tuple:
 
 
 def cmd_sweep(args) -> int:
+    from ..bench.profile import trace
     from ..sim import StoppingRule, SweepSpec, format_table, run_sweep
     from ..sim.report import save_results
 
+    if args.config:
+        # JSON config file (SURVEY.md §5.6): keys mirror the CLI flags and
+        # take precedence; "code"/"decoder" accept a string or a list.
+        import json
+
+        with open(args.config) as f:
+            cfg = json.load(f)
+        for k, v in cfg.items():
+            k = k.replace("-", "_")
+            if k in ("code", "decoder") and isinstance(v, str):
+                v = [v]
+            setattr(args, k, v)
+
     all_results = []
-    for code in args.code:
+    with trace(args.profile_dir):
+      for code in args.code:
         for decoder in args.decoder:
             spec = SweepSpec(
                 code=code,
@@ -143,6 +161,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--max-frames", type=int, default=1_000_000)
     sp.add_argument("--out", default=None, help="write results JSON here")
     sp.add_argument("--resume", default=None, help="sweep state file")
+    sp.add_argument("--config", default=None,
+                    help="JSON config file whose keys mirror these flags")
     sp.add_argument("--mesh", default=None,
                     help="pod-sharded sweep over a BATCHxSNR device mesh, "
                          "e.g. '4x2' (config 5); initializes multi-host "
