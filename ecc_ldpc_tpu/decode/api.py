@@ -123,6 +123,17 @@ def make_decoder(
     if backend != "xla":
         raise KeyError(f"unknown backend {backend!r}")
 
+    if kind == "minsum" and isinstance(graph, QCGraph):
+        # roll-form flooding twin (same algorithm, QC layout)
+        from .xla.flooding_qc import decode_flooding_qc
+
+        def decode_qc(llr):
+            return decode_flooding_qc(
+                graph, llr, alpha=alpha, beta=beta, max_iters=max_iters,
+                early_term=early_term,
+            )
+
+        return jax.jit(decode_qc) if jit else decode_qc
     if kind == "spa":
         cn_op = cn_spa
     elif kind == "minsum":

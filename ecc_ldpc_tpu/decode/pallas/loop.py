@@ -7,11 +7,12 @@ kernel for unstructured codes; QC codes get the roll-based layered kernel
 from __future__ import annotations
 
 from ...graph.compile import CompiledGraph
+from ...graph.qc import QCGraph
 from .fused_mm import make_pallas_decoder as _make_fused_mm
 
 
 def make_pallas_decoder(
-    graph: CompiledGraph,
+    graph,
     kind: str = "minsum",
     *,
     alpha: float = 1.0,
@@ -21,6 +22,26 @@ def make_pallas_decoder(
     jit: bool = True,
     **kw,
 ):
+    if isinstance(graph, QCGraph):
+        if kind != "minsum":
+            raise KeyError(
+                f"pallas QC flooding kernel supports minsum, not {kind!r}"
+            )
+        import jax.numpy as jnp
+
+        from . import flooding_qc
+
+        dt = (
+            jnp.float32
+            if flooding_qc.supports(graph, msg_bytes=4, total_bytes=4,
+                                    acc_bytes=4)
+            else jnp.bfloat16
+        )
+        return flooding_qc.make_flooding_pallas_decoder(
+            graph, alpha=alpha, beta=beta, max_iters=max_iters,
+            early_term=early_term, jit=jit, msg_dtype=dt, total_dtype=dt,
+            llr_dtype=dt, acc_dtype=dt, **kw,
+        )
     return _make_fused_mm(
         graph, kind, alpha=alpha, beta=beta, max_iters=max_iters,
         early_term=early_term, jit=jit, **kw,

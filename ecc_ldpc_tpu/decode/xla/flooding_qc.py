@@ -1,0 +1,113 @@
+"""Flooding min-sum over QC graphs, pure jnp — roll-based oracle twin of
+decode/pallas/flooding_qc.py (SURVEY.md §2.2 C12/C13 in QC form).
+
+Same algorithm as decode/xla/flooding.py on the expanded graph, but with
+the QC kernel's exact arithmetic order (per-row two-min reductions in
+degree-group order, posterior accumulation by rolled check messages), so
+the Pallas twin can be validated bit-exactly. BER curves coincide with the
+gather-form flooding decoder statistically (summation order differs).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ...graph.qc import QCGraph
+from ..types import DecodeResult
+
+_MAG_CAP = 1e12
+
+
+def decode_flooding_qc(
+    graph: QCGraph,
+    llr: jax.Array,
+    *,
+    alpha: float = 1.0,
+    beta: float = 0.0,
+    max_iters: int = 25,
+    early_term: bool = True,
+) -> DecodeResult:
+    """llr: f32 [B, n] -> DecodeResult."""
+    B = llr.shape[0]
+    Z, nb = graph.Z, graph.nb
+    llr3 = llr.T.astype(jnp.float32).reshape(nb, Z, B)
+    total0 = llr3
+    C0 = jnp.zeros((graph.num_block_edges, Z, B), jnp.float32)
+
+    rows = [graph.layer_edges(i) for i in graph.layer_order]
+
+    def syndrome_fail(total):
+        fail = jnp.zeros((B,), jnp.float32)
+        for edges in rows:
+            acc = 0.0
+            for e, col, s in edges:
+                acc = acc + (jnp.roll(total[col], -s, axis=0) < 0).astype(jnp.float32)
+            par = acc - 2.0 * jnp.floor(acc * 0.5)
+            fail = jnp.maximum(fail, jnp.max(par, axis=0))
+        return fail > 0.5
+
+    def sweep(total, C):
+        """One flooding iteration: CN from fixed totals, then posterior
+        rebuild. Returns (new_total, newC, onfly_fail)."""
+        acc = llr3
+        newC = C
+        fail = jnp.zeros((B,), jnp.float32)
+        for edges in rows:
+            rolled = [jnp.roll(total[col], -s, axis=0) for e, col, s in edges]
+            hacc = 0.0
+            for r in rolled:
+                hacc = hacc + (r < 0).astype(jnp.float32)
+            par = hacc - 2.0 * jnp.floor(hacc * 0.5)
+            fail = jnp.maximum(fail, jnp.max(par, axis=0))
+            V = jnp.stack([r - C[e] for r, (e, col, s) in zip(rolled, edges)])
+            neg = (V < 0).astype(jnp.float32)
+            cnt = jnp.sum(neg, axis=0, keepdims=True)
+            sgn_prod = 1.0 - 2.0 * (cnt - 2.0 * jnp.floor(cnt * 0.5))
+            a = jnp.abs(V)
+            min1 = jnp.min(a, axis=0, keepdims=True)
+            is_min = a == min1
+            count_min = jnp.sum(is_min.astype(jnp.float32), axis=0, keepdims=True)
+            min2 = jnp.min(jnp.where(is_min, jnp.inf, a), axis=0, keepdims=True)
+            mag = jnp.where(is_min & (count_min == 1.0), min2, min1)
+            mag = jnp.minimum(mag, _MAG_CAP)
+            mag = jnp.maximum(alpha * mag - beta, 0.0)
+            sv = jnp.where(V < 0, -1.0, 1.0)
+            Cnew = (sgn_prod * sv) * mag
+            for j, (e, col, s) in enumerate(edges):
+                acc = acc.at[col].add(jnp.roll(Cnew[j], s, axis=0))
+                newC = newC.at[e].set(Cnew[j])
+        return acc, newC, fail > 0.5
+
+    if early_term:
+        done0 = ~syndrome_fail(total0)
+        iters0 = (total0[0, 0] * 0).astype(jnp.int32)
+
+        def body(state):
+            total, C, done, iters = state
+            new_total, newC, fail = sweep(total, C)
+            keep = done[None, None, :]
+            total = jnp.where(keep, total, new_total)
+            C = jnp.where(keep, C, newC)
+            iters = jnp.where(done, iters, iters + 1)
+            done = done | ~fail
+            return total, C, done, iters
+
+        def cond(state):
+            _, _, done, iters = state
+            return (iters.max() < max_iters) & ~jnp.all(done)
+
+        total, _, done, iters = jax.lax.while_loop(
+            cond, body, (total0, C0, done0, iters0)
+        )
+    else:
+        def pure_body(_, st):
+            total, C = st
+            total, C, _ = sweep(total, C)
+            return total, C
+
+        total, _ = jax.lax.fori_loop(0, max_iters, pure_body, (total0, C0))
+        iters = jnp.full((B,), max_iters, jnp.int32) + (total0[0, 0] * 0).astype(jnp.int32)
+
+    bits = (total.reshape(nb * Z, B) < 0).astype(jnp.uint8).T
+    ok = ~syndrome_fail(total)
+    return DecodeResult(bits=bits, ok=ok, iterations=iters)
