@@ -64,5 +64,13 @@ def _register_builtins() -> None:
     register("dvbs2", lambda n, rate: dvbs2(int(n), rate))
     register("nr5g", lambda bg, zc, k=None: nr5g(bg, int(zc), None if k is None else int(k)))
 
+    def _punct(inner, positions):
+        from .puncture import parse_positions, puncture
+
+        spec = get_code(inner.replace("~", "/"))
+        return puncture(spec, parse_positions(positions, spec.n))
+
+    register("punct", _punct)
+
 
 _register_builtins()

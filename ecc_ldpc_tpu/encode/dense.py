@@ -54,6 +54,14 @@ class DenseEncoder:
         G, info_cols = systematic_generator(spec)
         return DenseEncoder(G=jnp.asarray(G, jnp.int8), info_cols=jnp.asarray(info_cols))
 
+    @property
+    def k(self) -> int:
+        return self.G.shape[0]
+
+    @property
+    def n(self) -> int:
+        return self.G.shape[1]
+
     def __call__(self, msg_bits: jax.Array) -> jax.Array:
         acc = jax.lax.dot_general(
             msg_bits.astype(jnp.int8),

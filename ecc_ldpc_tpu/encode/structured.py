@@ -328,13 +328,25 @@ class NRCoreExtensionEncoder:
 def build_encoder(spec: CodeSpec):
     """Pick the right encoder for a code: structured when the QC skeleton
     allows it (dual-diagonal, staircase, or NR core+extension), dense
-    generator otherwise."""
+    generator otherwise. Tail-shortened codes (codes/puncture.shorten) get
+    the mother encoder wrapped with zero-fill."""
+    enc = None
     if spec.qc is not None:
         for cls in (DualDiagonalEncoder, StaircaseEncoder, NRCoreExtensionEncoder):
             try:
-                return cls(spec)
+                enc = cls(spec)
+                break
             except ValueError:
                 pass
-    from .dense import DenseEncoder
+    if enc is None:
+        from .dense import DenseEncoder
 
-    return DenseEncoder.build(spec)
+        enc = DenseEncoder.build(spec)
+    enc_k = enc.k
+    if enc_k != spec.k and spec.shortened_cols:
+        tail = tuple(range(spec.k, enc_k))
+        if tuple(spec.shortened_cols[-len(tail):]) == tail:
+            from ..codes.puncture import ShortenedEncoder
+
+            return ShortenedEncoder(enc, spec)
+    return enc
