@@ -18,7 +18,7 @@ def main() -> int:
         # schedule on the fused QC kernel — the TPU-native form of the
         # reference's structured-decoder tier.
         dict(code="dvbs2/64800/12", decoder="layered/norm:0.8125/25/noet",
-             batch=128, ebn0_db=1.5),
+             batch=1024, ebn0_db=1.5),
         dict(code="mackay1008", decoder="minsum/norm:0.8125/25/noet",
              batch=2048),
     ]

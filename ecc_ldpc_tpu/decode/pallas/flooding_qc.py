@@ -226,16 +226,23 @@ def make_flooding_pallas_decoder(
     vmem_limit = min(state_bytes + (1 << 23), 127 * 1024 * 1024)
 
     def decode_impl(llr, ge_be, be_col, be_shift, be_shiftb):
+        # exactly one batch tile per call; decode() chunks larger batches
         B = llr.shape[0]
-        B_pad = _round_up(max(B, batch_tile), batch_tile)
+        B_pad = batch_tile
         llr3 = jnp.zeros((nb, Z, B_pad), llr_dtype)
-        llr3 = llr3.at[:, :, :B].set(llr.T.astype(llr_dtype).reshape(nb, Z, B))
+        llr3 = llr3.at[:, :, :B].set(
+            llr.T.astype(llr_dtype).reshape(nb, Z, B)
+        )
         itp = interpret
         if itp is None:
             itp = jax.default_backend() != "tpu"
+        # One batch tile per pallas_call, chunked with lax.map: with a >1
+        # grid, pallas double-buffers the llr/bits windows (+48 MB at
+        # DVB-S2 scale), blowing the VMEM cap. Sequential chunks have
+        # identical throughput (the grid was sequential anyway).
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
-            grid=(B_pad // batch_tile,),
+            grid=(1,),
             in_specs=[
                 pl.BlockSpec((nb, Z, batch_tile), lambda b, *_: (0, 0, b),
                              memory_space=pltpu.VMEM),
@@ -254,13 +261,14 @@ def make_flooding_pallas_decoder(
                 pltpu.VMEM((BE, Z, batch_tile), msg_dtype),
             ],
         )
-        bits, ok, iters = pl.pallas_call(
+        def one_chunk(llr_chunk):
+            return pl.pallas_call(
             kern,
             grid_spec=grid_spec,
             out_shape=(
-                jax.ShapeDtypeStruct((nb, Z, B_pad), llr_dtype),
-                jax.ShapeDtypeStruct((1, B_pad), jnp.float32),
-                jax.ShapeDtypeStruct((1, B_pad), jnp.float32),
+                jax.ShapeDtypeStruct((nb, Z, batch_tile), llr_dtype),
+                jax.ShapeDtypeStruct((1, batch_tile), jnp.float32),
+                jax.ShapeDtypeStruct((1, batch_tile), jnp.float32),
             ),
             # reuse the llr buffer for the bits output (operand 4 after the
             # 4 scalar-prefetch args) — saves a full [nb, Z, Bt] VMEM window
@@ -269,7 +277,9 @@ def make_flooding_pallas_decoder(
                 vmem_limit_bytes=int(vmem_limit),
             ),
             interpret=itp,
-        )(ge_be, be_col, be_shift, be_shiftb, llr3)
+        )(ge_be, be_col, be_shift, be_shiftb, llr_chunk)
+
+        bits, ok, iters = one_chunk(llr3)
         return DecodeResult(
             bits=(bits.reshape(nb * Z, B_pad)[:, :B].astype(jnp.float32)
                   > 0).astype(jnp.uint8).T,
@@ -280,6 +290,19 @@ def make_flooding_pallas_decoder(
     impl = jax.jit(decode_impl) if jit else decode_impl
 
     def decode(llr):
-        return impl(llr, ge_be, be_col, be_shift, be_shiftb)
+        B = llr.shape[0]
+        if B <= batch_tile:
+            return impl(llr, ge_be, be_col, be_shift, be_shiftb)
+        # chunk large batches into one-tile kernel calls (a >1 pallas grid
+        # double-buffers the big IO windows and busts the VMEM cap)
+        outs = [
+            impl(llr[i : i + batch_tile], ge_be, be_col, be_shift, be_shiftb)
+            for i in range(0, B, batch_tile)
+        ]
+        return DecodeResult(
+            bits=jnp.concatenate([o.bits for o in outs]),
+            ok=jnp.concatenate([o.ok for o in outs]),
+            iterations=jnp.concatenate([o.iterations for o in outs]),
+        )
 
     return decode
