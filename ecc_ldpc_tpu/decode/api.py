@@ -136,6 +136,10 @@ def make_decoder(
         return jax.jit(decode_qc) if jit else decode_qc
     if kind == "spa":
         cn_op = cn_spa
+    elif kind == "minstar":
+        from .xla.cn_ops import cn_minstar
+
+        cn_op = cn_minstar
     elif kind == "minsum":
         cn_op = functools.partial(cn_minsum, alpha=alpha, beta=beta)
     elif kind == "layered":

@@ -61,8 +61,48 @@ def cn_spa(V, mask):
     return jnp.where(mask, C, 0.0)
 
 
+def _boxplus(x, y):
+    """Exact pairwise box-plus (minstar): sign(x)sign(y)min(|x|,|y|) plus the
+    dual log-correction terms — the Jacobian form of the tanh rule."""
+    mag = jnp.minimum(jnp.abs(x), jnp.abs(y))
+    sgn = jnp.where((x < 0) ^ (y < 0), -1.0, 1.0)
+    corr = jnp.log1p(jnp.exp(-jnp.abs(x + y))) - jnp.log1p(
+        jnp.exp(-jnp.abs(x - y))
+    )
+    return sgn * mag + corr
+
+
+def cn_minstar(V, mask):
+    """Exact sum-product via minstar (box-plus) forward/backward prefix
+    scans — numerically equivalent to cn_spa up to fp rounding; the form
+    optimized decoders approximate by dropping the correction terms
+    (which recovers plain min-sum)."""
+    dc = V.shape[1]
+    big = 1e9  # identity element: boxplus(big, x) ~= x
+    Vm = jnp.where(mask, V, big)
+    fwd = [Vm[:, 0]]
+    for j in range(1, dc):
+        fwd.append(_boxplus(fwd[-1], Vm[:, j]))
+    bwd = [Vm[:, dc - 1]]
+    for j in range(dc - 2, -1, -1):
+        bwd.insert(0, _boxplus(bwd[0], Vm[:, j]))
+    outs = []
+    for j in range(dc):
+        if j == 0:
+            outs.append(bwd[1] if dc > 1 else jnp.full_like(Vm[:, 0], big))
+        elif j == dc - 1:
+            outs.append(fwd[dc - 2])
+        else:
+            outs.append(_boxplus(fwd[j - 1], bwd[j + 1]))
+    C = jnp.stack(outs, axis=1)
+    return jnp.where(mask, jnp.clip(C, -_MAG_CAP, _MAG_CAP), 0.0)
+
+
 def get_cn_op(kind: str, **params):
-    """Resolve a CN-op name: 'spa', 'minsum', 'norm-minsum', 'offset-minsum'."""
+    """Resolve a CN-op name: 'spa', 'minstar', 'minsum', 'norm-minsum',
+    'offset-minsum'."""
+    if kind == "minstar":
+        return cn_minstar
     if kind == "spa":
         return cn_spa
     if kind == "minsum":
