@@ -100,12 +100,16 @@ def _kernel(
     *, m_pad: int, dc: int, kind: str, alpha: float, beta: float,
     max_iters: int, early_term: bool,
 ):
-    llr = llr_ref[:]  # [n_pad, Bt]
-    S = S_ref[:]      # [n_pad, e_pad]
+    llr = llr_ref[:].astype(jnp.float32)  # [n_pad, Bt]
+    S = S_ref[:]      # [n_pad, e_pad]   (f32 or bf16; 0/1 exact either way)
     St = St_ref[:]    # [e_pad, n_pad]
     H = H_ref[:]      # [m2_pad, n_pad]
     mask3 = mask_ref[:].reshape(m_pad, dc, 1) > 0.5
     Bt = llr.shape[1]
+    md = S.dtype  # matmul input dtype: bf16 runs the MXU at full rate
+
+    def dot(A, x):
+        return _dot(A, x.astype(md))
 
     if kind == "spa":
         cn = functools.partial(_cn_spa_3d)
@@ -114,11 +118,11 @@ def _kernel(
 
     def syndrome_fail(total):  # -> f32 [1, Bt], 1.0 where some check fails
         hard = (total < 0).astype(jnp.float32)
-        cnt = _dot(H, hard)
+        cnt = dot(H, hard)
         par = cnt - 2.0 * jnp.floor(cnt * 0.5)
         return jnp.max(par, axis=0, keepdims=True)
 
-    V = jnp.where(mask3, _dot(St, llr).reshape(m_pad, dc, Bt), 0.0)
+    V = jnp.where(mask3, dot(St, llr).reshape(m_pad, dc, Bt), 0.0)
     total = llr
     fail0 = syndrome_fail(total)
     done = 1.0 - fail0  # f32 [1, Bt]
@@ -128,8 +132,8 @@ def _kernel(
         V, total, done, iters, it = carry
         C = cn(V, mask3)
         Cflat = C.reshape(m_pad * dc, Bt)
-        new_total = llr + _dot(S, Cflat)
-        newV = jnp.where(mask3, _dot(St, new_total).reshape(m_pad, dc, Bt) - C, 0.0)
+        new_total = llr + dot(S, Cflat)
+        newV = jnp.where(mask3, dot(St, new_total).reshape(m_pad, dc, Bt) - C, 0.0)
         fail = syndrome_fail(new_total)
         keep = done > 0.5
         V = jnp.where(keep[:, None, :], V, newV)
@@ -193,12 +197,16 @@ def make_pallas_decoder(
     jit: bool = True,
     batch_tile: int = 128,
     interpret: Optional[bool] = None,
+    mxu_dtype=jnp.float32,
 ):
     """decode(llr [B, n]) -> DecodeResult via the fused VMEM-resident kernel.
 
     interpret=None auto-selects interpreter mode off-TPU (the CI strategy of
     SURVEY.md §4.2 item 3: the XLA tier is the oracle, interpret mode the
-    bridge)."""
+    bridge). mxu_dtype=bf16 stores the incidence operators in bf16 (0/1 is
+    exact) and rounds messages to bf16 at the matmul inputs — ~8x MXU rate
+    at the cost of message quantization; f32 stays bit-exact with the
+    oracle."""
     if kind not in ("minsum", "spa"):
         raise KeyError(f"pallas fused decoder supports spa/minsum, not {kind!r}")
     n_pad = _round_up(graph.n, 128)
@@ -206,7 +214,10 @@ def make_pallas_decoder(
     m2_pad = _round_up(graph.m, 8)
     e_pad = m_pad * graph.dc_max
     S, St, H, maskf = build_operators(graph, n_pad, m_pad, m2_pad)
-    S, St, H, maskf = map(jnp.asarray, (S, St, H, maskf))
+    S = jnp.asarray(S, mxu_dtype)
+    St = jnp.asarray(St, mxu_dtype)
+    H = jnp.asarray(H, mxu_dtype)
+    maskf = jnp.asarray(maskf)
 
     kern = functools.partial(
         _kernel, m_pad=m_pad, dc=graph.dc_max, kind=kind, alpha=alpha,
