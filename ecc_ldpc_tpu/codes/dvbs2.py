@@ -7,8 +7,9 @@ standard column reordering (nb = n/360 block columns). Normal frames
 n=64800 across the full rate family and short frames n=16200 are built
 here in that QC form:
 
-  - parity part: QC staircase (block-col d hits block-rows d and d+1,
-    the accumulator), encoded in O(n) by encode/structured.py
+  - parity part: dual-diagonal IRA (special (1,0,1) column + shift-0
+    staircase; see _parity_structure for why not a pure QC staircase),
+    encoded in O(n) by encode/structured.py
   - info part: per-rate degree profile from the standard (a fraction of
     block columns at the rate's high degree, the rest at degree 3),
     rows balanced, shifts deterministic and QC-girth-repaired
@@ -55,12 +56,29 @@ RATES = {
 }
 
 
-def _staircase_parity(base: np.ndarray, kb: int) -> None:
+def _parity_structure(base: np.ndarray, kb: int) -> None:
+    """Dual-diagonal IRA parity: special first column (1,0,1) + shift-0
+    staircase.
+
+    A PURE QC staircase (block-col d in rows d,d+1; last col degree 1) was
+    measured to cause an error floor: with Z=360 the accumulator decomposes
+    into 360 independent chains, leaving 360 weakly-protected degree-1
+    chain-end bits — every floor event localized to the parity tail
+    (FER ~2e-3 at 2.6 dB, 1-4 bit errors at block-cols 40-44 of the short
+    frame). The real standard's BIT-level accumulator has exactly one
+    degree-1 bit; within a pure-QC representation the equivalent-strength
+    structure is the 802.11n-style dual-diagonal, which has no degree-1
+    columns at all and keeps the O(n) encoder. This is the one deliberate
+    structural deviation from the standard's parity section (documented
+    here; everything else about the family geometry is as described above).
+    """
     mb = base.shape[0]
+    base[0, kb] = 1
+    base[mb // 2, kb] = 0
+    base[mb - 1, kb] = 1
     for d in range(mb - 1):
-        base[d, kb + d] = 0
-        base[d + 1, kb + d] = 0
-    base[mb - 1, kb + mb - 1] = 0
+        base[d, kb + 1 + d] = 0
+        base[d + 1, kb + 1 + d] = 0
 
 
 def _build_base(mb: int, nb: int, deg_hi: int, num_hi: int, seed: int) -> np.ndarray:
@@ -68,7 +86,7 @@ def _build_base(mb: int, nb: int, deg_hi: int, num_hi: int, seed: int) -> np.nda
     kb = nb - mb
     num_hi = min(num_hi, kb)
     base = -np.ones((mb, nb), dtype=np.int32)
-    _staircase_parity(base, kb)
+    _parity_structure(base, kb)
     deg = (base >= 0).sum(axis=1)
     for j in range(kb):
         w = deg_hi if j < num_hi else 3
@@ -88,6 +106,24 @@ def _build_base(mb: int, nb: int, deg_hi: int, num_hi: int, seed: int) -> np.nda
         i1, i2, j1, j2 = viol[0]
         j = j1 if j1 < kb else j2
         base[i2 if j1 < kb else i1, j] = rng.integers(0, Z)
+
+    # Chain-cycle repair: an info column hitting rows a and b with EQUAL
+    # shifts closes a short bit-level cycle through the shift-0 staircase
+    # between those rows (length 2|b-a|+2) — measured as isolated
+    # single-bit trapping sets (e.g. one deg-3 column + 4 staircase
+    # columns). Forbid equal shifts for row pairs within distance 8.
+    for _ in range(2000):
+        fixed = True
+        for j in range(kb):
+            rows = np.flatnonzero(base[:, j] >= 0)
+            for x in range(len(rows)):
+                for y in range(x + 1, len(rows)):
+                    a, b = rows[x], rows[y]
+                    if abs(int(b) - int(a)) <= 8 and base[a, j] == base[b, j]:
+                        base[b, j] = rng.integers(0, Z)
+                        fixed = False
+        if fixed:
+            break
     return base
 
 
