@@ -116,6 +116,22 @@ def surrogate_base(mb: int, nb: int, Z: int, seed: int, heavy_cols: int = 2,
         i1, i2, j1, j2 = viol[0]
         j = j1 if j1 < kb else j2
         base[i2 if j1 < kb else i1, j] = rng.integers(0, Z)
+    # chain-cycle repair: equal shifts at nearby rows of one column close a
+    # short bit-level cycle through the shift-0 staircase (see codes/dvbs2
+    # for the measured failure mode); forbid within row distance 8
+    if Z > 1:
+        for _ in range(1000):
+            fixed = True
+            for j in range(kb):
+                rows = np.flatnonzero(base[:, j] >= 0)
+                for x in range(len(rows)):
+                    for y in range(x + 1, len(rows)):
+                        a, b = rows[x], rows[y]
+                        if abs(int(b) - int(a)) <= 8 and base[a, j] == base[b, j]:
+                            base[b, j] = rng.integers(0, Z)
+                            fixed = False
+            if fixed:
+                break
     return base
 
 
