@@ -34,7 +34,7 @@ def make_decoder(
     beta: float = 0.0,
     max_iters: int = 25,
     early_term: bool = True,
-    backend: str = "xla",
+    backend: str = "auto",
     jit: bool = True,
 ) -> Callable[[jax.Array], DecodeResult]:
     """Build `decode(llr[B, n]) -> DecodeResult` for one graph."""
@@ -80,6 +80,13 @@ def make_decoder(
                 backend = "pallas"
             else:
                 backend = "xla"  # static-roll tier, also TPU-safe
+        elif isinstance(graph, QCGraph):
+            from .pallas import flooding_qc
+
+            if on_tpu and kind == "minsum" and flooding_qc.supports(graph):
+                backend = "pallas"
+            else:
+                backend = "xla"  # roll-form flooding twin, TPU-safe
         elif on_tpu:
             from .pallas import fused_mm
             from .xla import dense_mm
@@ -134,6 +141,12 @@ def make_decoder(
             )
 
         return jax.jit(decode_qc) if jit else decode_qc
+    if isinstance(graph, QCGraph) and kind not in ("layered", "minsum"):
+        raise TypeError(
+            f"{kind!r} on a QCGraph is not supported — use kind='minsum' or "
+            f"'layered', or compile the code with graph.compile_graph for "
+            f"the expanded-graph decoders"
+        )
     if kind == "spa":
         cn_op = cn_spa
     elif kind == "minstar":
@@ -172,7 +185,7 @@ def parse_decoder_spec(spec: str) -> dict:
             kw["beta"] = float(p[7:])
         elif p == "noet":
             kw["early_term"] = False
-        elif p in ("pallas", "xla"):
+        elif p in ("pallas", "xla", "xla-mm", "auto"):
             kw["backend"] = p
         elif p.isdigit():
             kw["max_iters"] = int(p)
