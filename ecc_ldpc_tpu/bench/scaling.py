@@ -36,6 +36,7 @@ def sharded_decoder(dec, mesh):
         out_specs=DecodeResult(
             bits=P("batch"), ok=P("batch"), iterations=P("batch")
         ),
+        check_vma=False,  # pallas outputs carry no vma annotation
     )
     def decode(llr):
         return dec(llr)

@@ -26,28 +26,38 @@ P = jax.sharding.PartitionSpec
 
 def _ring_allreduce_kernel(x_ref, out_ref, comm_ref, send_sem, recv_sem, *,
                            axis: str, num_devices: int):
+    """Ring all-gather into per-source slots, then local sum.
+
+    comm_ref[src] holds device `src`'s contribution; at ring step i each
+    device forwards the chunk that originated at (my_id - i) to its right
+    neighbor, into that chunk's OWN slot. Every slot is written exactly
+    once, so no slot reuse and no inter-step barrier is needed (a
+    double-buffered variant was measured racy at 4 devices).
+    """
     my_id = jax.lax.axis_index(axis)
-    out_ref[:] = x_ref[:]
-    comm_ref[0] = x_ref[:]
+    comm_ref[my_id] = x_ref[:]
 
     def step(i, _):
-        send_slot = i % 2
-        recv_slot = (i + 1) % 2
+        src = jax.lax.rem(my_id - i + num_devices, num_devices)
         dst = jax.lax.rem(my_id + 1, num_devices)
         rdma = pltpu.make_async_remote_copy(
-            src_ref=comm_ref.at[send_slot],
-            dst_ref=comm_ref.at[recv_slot],
-            send_sem=send_sem.at[send_slot],
-            recv_sem=recv_sem.at[recv_slot],
+            src_ref=comm_ref.at[src],
+            dst_ref=comm_ref.at[src],
+            send_sem=send_sem.at[i % 2],
+            recv_sem=recv_sem.at[i % 2],
             device_id=dst,
             device_id_type=pltpu.DeviceIdType.LOGICAL,
         )
         rdma.start()
         rdma.wait()
-        out_ref[:] = out_ref[:] + comm_ref[recv_slot]
         return 0
 
     jax.lax.fori_loop(0, num_devices - 1, step, 0)
+    acc = comm_ref[0]
+    for_sum = jax.lax.fori_loop(
+        1, num_devices, lambda d, a: a + comm_ref[d], acc
+    )
+    out_ref[:] = for_sum
 
 
 def ring_allreduce(x: jax.Array, mesh: jax.sharding.Mesh, axis: str = "batch"):
@@ -67,7 +77,7 @@ def ring_allreduce(x: jax.Array, mesh: jax.sharding.Mesh, axis: str = "batch"):
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2,) + x.shape, x.dtype),
+                pltpu.VMEM((num_devices,) + x.shape, x.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
