@@ -22,3 +22,11 @@ statistical BER tests pin the waterfall against theory.
 """
 
 __version__ = "0.1.0"
+
+# Top-level convenience API (the reference's ECC-record workflow):
+#   from ecc_ldpc_tpu import build_ecc
+#   ecc = build_ecc("dvbs2/64800/12", "layered/norm:0.8125/25")
+from .ecc import ECC, build_ecc  # noqa: E402
+from .codes import get_code, list_codes  # noqa: E402
+
+__all__ = ["ECC", "build_ecc", "get_code", "list_codes", "__version__"]

@@ -2,6 +2,7 @@
 
 from .awgn import (
     awgn_llr,
+    make_channel,
     bpsk,
     llr_from_channel,
     noise_sigma,
@@ -11,6 +12,7 @@ from .awgn import (
 
 __all__ = [
     "awgn_llr",
+    "make_channel",
     "bpsk",
     "llr_from_channel",
     "noise_sigma",

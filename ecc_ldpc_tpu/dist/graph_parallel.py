@@ -19,6 +19,13 @@ Implementation notes:
   - a Pallas remote-DMA ring (pltpu.make_async_remote_copy) is the
     kernel-level upgrade path for boundary-only exchange; the psum form is
     the idiomatic XLA baseline.
+  - PLATFORM CAVEAT: the per-shard VN scatter-add below is validated on
+    CPU meshes (tests/dist/); this environment's TPU compiler crashes on
+    scatter/gather chains, so a TPU deployment of graph-parallel decode
+    would swap the local update for the incidence-matmul or QC-roll forms
+    used by the batch-parallel kernels (round-2 work if a workload ever
+    needs a single codeword spread over chips — none of the standards
+    codes do).
 """
 from __future__ import annotations
 
