@@ -48,16 +48,23 @@ def make_channel(spec):
     """
     import numpy as _np
 
-    punct = _np.asarray(spec.punctured_cols, dtype=_np.int32)
-    short = _np.asarray(spec.shortened_cols, dtype=_np.int32)
+    # Elementwise mask arithmetic, NOT fancy-index .at[].set: the set form
+    # lowers to scatter, which this platform's TPU compiler handles
+    # pathologically (hangs/crashes — same family as the gather-chain bug).
+    keep = _np.ones(spec.n, dtype=_np.float32)
+    add = _np.zeros(spec.n, dtype=_np.float32)
+    punct = _np.asarray(spec.punctured_cols, dtype=_np.int64)
+    short = _np.asarray(spec.shortened_cols, dtype=_np.int64)
+    keep[punct] = 0.0
+    keep[short] = 0.0
+    add[short] = 60.0
     rate = spec.rate
+    masked = len(punct) or len(short)
 
     def channel(key, cw, ebn0_db):
         llr = awgn_llr(key, cw, ebn0_db, rate)
-        if len(punct):
-            llr = llr.at[..., punct].set(0.0)
-        if len(short):
-            llr = llr.at[..., short].set(60.0)
+        if masked:
+            llr = llr * keep + add
         return llr
 
     return channel

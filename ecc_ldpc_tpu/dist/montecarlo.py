@@ -46,10 +46,25 @@ def _point_counters(
     )(kmsg)
     cw = enc(msg)
     llr = jax.vmap(lambda kk, c: awgn_llr(kk, c, ebn0_db, rate))(kchan, cw)
+    # elementwise masks, never scatter (see chan.make_channel)
     if punct is not None and len(punct):
-        llr = llr.at[:, punct].set(0.0)
-    if short is not None and len(short):
-        llr = llr.at[:, short].set(60.0)
+        import numpy as _np
+
+        keep = _np.ones(llr.shape[-1], _np.float32)
+        keep[_np.asarray(punct, _np.int64)] = 0.0
+        add = _np.zeros(llr.shape[-1], _np.float32)
+        if short is not None and len(short):
+            keep[_np.asarray(short, _np.int64)] = 0.0
+            add[_np.asarray(short, _np.int64)] = 60.0
+        llr = llr * keep + add
+    elif short is not None and len(short):
+        import numpy as _np
+
+        keep = _np.ones(llr.shape[-1], _np.float32)
+        keep[_np.asarray(short, _np.int64)] = 0.0
+        add = _np.zeros(llr.shape[-1], _np.float32)
+        add[_np.asarray(short, _np.int64)] = 60.0
+        llr = llr * keep + add
     res = dec(llr)
     msg_hat = enc.extract_message(res.bits)
     diff = msg_hat != msg
