@@ -44,6 +44,13 @@ class SweepSpec:
     seed: int = 0
     stopping: StoppingRule = StoppingRule()
     backend: Optional[str] = None  # decoder backend override
+    # fused_step=True compiles encode+channel+decode+tally as ONE module
+    # (fewest dispatches). Some big structured codes (5G NR) make that
+    # monolithic module pathologically slow to compile on this platform's
+    # remote helper even though every stage compiles fast alone; staged
+    # mode jits the stages separately at the cost of a few extra
+    # dispatches per step.
+    fused_step: bool = True
 
     def point_key(self, ebn0: float) -> str:
         return f"{self.code}|{self.decoder}|{ebn0:g}"
@@ -131,8 +138,7 @@ def _ldpc_pipeline(spec: SweepSpec) -> Pipeline:
     B, k, rate = spec.batch, code.k, code.rate
     channel = make_channel(code)  # honors punctured/shortened positions
 
-    @jax.jit
-    def step(key, ebn0_db):
+    def step_body(key, ebn0_db):
         kmsg, kchan = jax.random.split(key)
         msg = jax.random.bernoulli(kmsg, 0.5, (B, k)).astype(jnp.uint8)
         cw = enc(msg)
@@ -146,7 +152,36 @@ def _ldpc_pipeline(spec: SweepSpec) -> Pipeline:
             jnp.sum(res.iterations, dtype=jnp.int32),
         )
 
+    if spec.fused_step:
+        step = jax.jit(step_body)
+    else:
+        tx = jax.jit(lambda key, ebn0_db: _staged_tx(enc, channel, B, k, key, ebn0_db))
+        jdec = jax.jit(dec)
+        tally = jax.jit(lambda msg, res: _staged_tally(enc, msg, res))
+
+        def step(key, ebn0_db):
+            msg, llr = tx(key, ebn0_db)
+            res = jdec(llr)
+            return tally(msg, res)
+
     return Pipeline(k=k, rate=rate, step_fn=step, batch=B)
+
+
+def _staged_tx(enc, channel, B, k, key, ebn0_db):
+    kmsg, kchan = jax.random.split(key)
+    msg = jax.random.bernoulli(kmsg, 0.5, (B, k)).astype(jnp.uint8)
+    cw = enc(msg)
+    return msg, channel(kchan, cw, ebn0_db)
+
+
+def _staged_tally(enc, msg, res):
+    msg_hat = enc.extract_message(res.bits)
+    diff = msg_hat != msg
+    return (
+        jnp.sum(diff, dtype=jnp.int32),
+        jnp.sum(jnp.any(diff, axis=1), dtype=jnp.int32),
+        jnp.sum(res.iterations, dtype=jnp.int32),
+    )
 
 
 def _bpsk_pipeline(spec: SweepSpec) -> Pipeline:
