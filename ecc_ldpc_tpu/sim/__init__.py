@@ -6,7 +6,7 @@ stopping rule is satisfied, then report BER/FER with confidence intervals.
 """
 
 from .stopping import StoppingRule, wilson_interval
-from .runner import PointResult, SweepSpec, run_sweep
+from .runner import PointResult, SweepSpec, run_sweep, run_sweep_sharded
 from .report import format_table, results_to_json, curves_overlap
 
 __all__ = [
@@ -15,6 +15,7 @@ __all__ = [
     "PointResult",
     "SweepSpec",
     "run_sweep",
+    "run_sweep_sharded",
     "format_table",
     "results_to_json",
     "curves_overlap",
