@@ -13,10 +13,23 @@ no padding slots and no validity masks anywhere in the hot loop. For ragged
 graphs (5G NR: degree-3 extension rows next to degree-19 core rows) this
 removes a multiple of wasted work.
 
+ALIGNMENT-CARRYING STORAGE (the "delta shift" form): each block-column's
+posterior is stored in the check alignment of the LAST layer that touched
+it; the next touch rolls only by the shift *difference* (streamed from
+SMEM), and the updated posterior is written back in current-layer alignment
+as `slab + Cnew`. That is ONE roll per edge-visit instead of two, and in
+fixed-iteration mode it also deletes the old-message read and the
+(Cnew - Cold) subtract. Columns are pre-rotated once at kernel entry to the
+steady-state alignment (so every sweep uses the same deltas) and un-rotated
+once at exit. Requires no block-row to touch the same block-column twice
+(QCGraph.intra_layer_dup_free); graphs with duplicates take the classic
+2-roll delta-add path.
+
 Modes (identical semantics in decode/xla/layered.py):
   early_term=True: on-the-fly syndrome accumulated during the sweep drives
     per-lane freezing and a while_loop exit; ok is one truthful posterior
-    syndrome at the end.
+    syndrome at the end. The per-edge scratch row holds the *rolled
+    posterior* so frozen lanes restore it bit-exactly.
   early_term=False: literally max_iters sweeps of min-sum — no freeze, no
     parity bookkeeping (the paper-comparable fixed-iteration benchmark).
 
@@ -57,12 +70,59 @@ def supports(graph: QCGraph, batch_tile: int = 128, msg_bytes: int = 2) -> bool:
     return graph.Z % 8 == 0 and state <= 118 * 1024 * 1024
 
 
+def sweep_layout(graph: QCGraph):
+    """Host-side degree-grouped sweep layout + delta-shift tables.
+
+    Returns (groups, ge_be, ge_delta, col_pre, col_post, dup_free) where
+    groups = ((deg, nrows, offset), ...) in QCGraph.layer_order;
+    ge_be[i] is the block-edge id of sweep slot i; ge_delta[i] the roll
+    taking the stored posterior (aligned to its previous touch) into this
+    edge's check alignment; col_pre/col_post [nb] the entry/exit rotations.
+    Shared by the Pallas kernel and (structurally) the XLA oracle so both
+    tiers visit edges in the same order.
+    """
+    Z = graph.Z
+    ge_be, groups = [], []
+    for deg, rows in graph.layer_groups:
+        groups.append((deg, len(rows), len(ge_be)))
+        for r in rows:
+            for e, _, _ in graph.layer_edges(r):
+                ge_be.append(e)
+    groups = tuple(groups)
+
+    col = np.asarray(graph.be_col_np, np.int64)
+    shift = np.asarray(graph.be_shift_np, np.int64)
+    # steady-state alignment at sweep boundaries: each column's last touch
+    a0 = np.zeros(graph.nb, np.int64)
+    for e in ge_be:
+        a0[col[e]] = shift[e]
+    cur = a0.copy()
+    ge_delta = np.zeros(len(ge_be), np.int64)
+    for i, e in enumerate(ge_be):
+        j = col[e]
+        ge_delta[i] = (cur[j] - shift[e]) % Z
+        cur[j] = shift[e]
+    col_pre = (Z - a0) % Z   # var-aligned -> steady-state storage
+    col_post = a0            # storage -> var-aligned
+    return (
+        groups,
+        np.asarray(ge_be, np.int32),
+        ge_delta.astype(np.int32),
+        col_pre.astype(np.int32),
+        col_post.astype(np.int32),
+        graph.intra_layer_dup_free,
+    )
+
+
 def _kernel(
     # scalar prefetch (SMEM)
     ge_be_ref,     # int32 [sum(deg*nrows)] edge ids, degree-grouped layout
     be_col_ref,    # int32 [BE]
-    be_shift_ref,  # int32 [BE]   forward shift s
-    be_shiftb_ref, # int32 [BE]   precomputed (Z - s) % Z
+    be_shift_ref,  # int32 [BE]   forward shift s (dup fallback path)
+    be_shiftb_ref, # int32 [BE]   precomputed (Z - s) % Z (syndrome)
+    ge_delta_ref,  # int32 [sum(deg*nrows)] delta shifts (dup-free path)
+    col_pre_ref,   # int32 [nb] entry rotation (dup-free path)
+    col_post_ref,  # int32 [nb] exit rotation (dup-free path)
     # VMEM in/out
     llr_ref,       # llr_dtype [nb, Z, Bt]
     bits_ref,      # int8 [nb, Z, Bt]
@@ -74,12 +134,14 @@ def _kernel(
     vrow_s,        # f32 [dcb, Z, Bt]
     *, groups: tuple, nb: int, Z: int, Bt: int,
     alpha: float, beta: float, max_iters: int, early_term: bool,
+    dup_free: bool,
 ):
     total_s[:] = llr_ref[:].astype(jnp.float32)
     C_s[:] = jnp.zeros_like(C_s)
 
     def syndrome_fail():
-        """f32 [1, Bt]: 1.0 where some check is unsatisfied (posteriors)."""
+        """f32 [1, Bt]: 1.0 where some check is unsatisfied (posteriors,
+        variable-aligned storage)."""
         fail = jnp.zeros((1, Bt), jnp.float32)
         for deg, nrows, off in groups:
             def layer(li, fail, deg=deg, off=off):
@@ -93,15 +155,88 @@ def _kernel(
             fail = jax.lax.fori_loop(0, nrows, layer, fail)
         return fail
 
-    def sweep(frozen, track):
-        """One layered iteration over all degree groups; returns on-the-fly
-        fail [1, Bt] (meaningful when track=True)."""
+    def rotate(off_ref):
+        def rot(i, c):
+            total_s[i] = pltpu.roll(total_s[i], off_ref[i], 0)
+            return c
+        jax.lax.fori_loop(0, nb, rot, 0)
+
+    def sweep_delta(frozen, track):
+        """One layered iteration, alignment-carrying form (1 roll/edge).
+        Returns on-the-fly fail [1, Bt] (meaningful when track=True)."""
         keep = (frozen > 0.5) if track else None
         fail = jnp.zeros((1, Bt), jnp.float32)
         for deg, nrows, off in groups:
             def layer(li, fail, deg=deg, off=off):
                 base = off + li * deg
-                # pass 1: extrinsic slabs + running two-min / sign / parity
+                # pass 1: roll posteriors into this layer's alignment,
+                # running two-min / sign / parity over extrinsic slabs
+                inf = jnp.full((Z, Bt), jnp.inf, jnp.float32)
+                zero = jnp.zeros((Z, Bt), jnp.float32)
+                min1, min2, negcnt, hardcnt = inf, inf, zero, zero
+                for si in range(deg):
+                    e = ge_be_ref[base + si]
+                    rolled = pltpu.roll(total_s[be_col_ref[e]],
+                                        ge_delta_ref[base + si], 0)
+                    if track:
+                        # scratch holds the rolled POSTERIOR so frozen
+                        # lanes restore it bit-exactly in pass 2
+                        vrow_s[si] = rolled
+                        hardcnt = hardcnt + (rolled < 0).astype(jnp.float32)
+                    slab = rolled - C_s[e].astype(jnp.float32)
+                    if not track:
+                        vrow_s[si] = slab
+                    a = jnp.abs(slab)
+                    min2 = jnp.minimum(min2, jnp.maximum(min1, a))
+                    min1 = jnp.minimum(min1, a)
+                    negcnt = negcnt + (slab < 0).astype(jnp.float32)
+                if track:
+                    hpar = hardcnt - 2.0 * jnp.floor(hardcnt * 0.5)
+                    fail = jnp.maximum(
+                        fail, jnp.max(hpar, axis=0, keepdims=True)
+                    )
+                par = negcnt - 2.0 * jnp.floor(negcnt * 0.5)
+                sgn_prod = 1.0 - 2.0 * par
+                mag1 = jnp.maximum(alpha * jnp.minimum(min1, _MAG_CAP) - beta, 0.0)
+                mag2 = jnp.maximum(alpha * jnp.minimum(min2, _MAG_CAP) - beta, 0.0)
+
+                # pass 2: emit messages; posterior written back IN THIS
+                # LAYER'S ALIGNMENT as slab + Cnew — no roll
+                for si in range(deg):
+                    e = ge_be_ref[base + si]
+                    col = be_col_ref[e]
+                    if track:
+                        rolledv = vrow_s[si]
+                        Cold = C_s[e].astype(jnp.float32)
+                        v = rolledv - Cold
+                    else:
+                        v = vrow_s[si]
+                    sv = jnp.where(v < 0, -1.0, 1.0)
+                    mag = jnp.where(jnp.abs(v) == min1, mag2, mag1)
+                    Cnew = (sgn_prod * sv) * mag
+                    if track:
+                        Cnew = jnp.where(keep, Cold, Cnew)
+                    # quantize through storage dtype BEFORE the posterior
+                    # update so total and C stay consistent
+                    Cq = Cnew.astype(C_s.dtype).astype(jnp.float32)
+                    if track:
+                        total_s[col] = jnp.where(keep, rolledv, v + Cq)
+                    else:
+                        total_s[col] = v + Cq
+                    C_s[e] = Cq.astype(C_s.dtype)
+                return fail
+            fail = jax.lax.fori_loop(0, nrows, layer, fail)
+        return fail
+
+    def sweep_classic(frozen, track):
+        """One layered iteration, 2-roll delta-add form (fallback for
+        graphs with intra-layer duplicate columns: posterior updates for
+        duplicates must ACCUMULATE)."""
+        keep = (frozen > 0.5) if track else None
+        fail = jnp.zeros((1, Bt), jnp.float32)
+        for deg, nrows, off in groups:
+            def layer(li, fail, deg=deg, off=off):
+                base = off + li * deg
                 inf = jnp.full((Z, Bt), jnp.inf, jnp.float32)
                 zero = jnp.zeros((Z, Bt), jnp.float32)
                 min1, min2, negcnt, hardcnt = inf, inf, zero, zero
@@ -127,7 +262,6 @@ def _kernel(
                 mag1 = jnp.maximum(alpha * jnp.minimum(min1, _MAG_CAP) - beta, 0.0)
                 mag2 = jnp.maximum(alpha * jnp.minimum(min2, _MAG_CAP) - beta, 0.0)
 
-                # pass 2: emit messages, update posteriors
                 for si in range(deg):
                     e = ge_be_ref[base + si]
                     col = be_col_ref[e]
@@ -138,8 +272,6 @@ def _kernel(
                     Cnew = (sgn_prod * sv) * mag
                     if track:
                         Cnew = jnp.where(keep, Cold, Cnew)
-                    # quantize through storage dtype BEFORE the posterior
-                    # update so total and C stay consistent
                     Cq = Cnew.astype(C_s.dtype).astype(jnp.float32)
                     total_s[col] = total_s[col] + pltpu.roll(
                         Cq - Cold, be_shift_ref[e], 0
@@ -149,8 +281,12 @@ def _kernel(
             fail = jax.lax.fori_loop(0, nrows, layer, fail)
         return fail
 
+    sweep = sweep_delta if dup_free else sweep_classic
+
     if early_term:
         done0 = 1.0 - syndrome_fail()
+        if dup_free:
+            rotate(col_pre_ref)
         iters0 = jnp.zeros((1, Bt), jnp.float32)
 
         def body(carry):
@@ -169,11 +305,15 @@ def _kernel(
         )
     else:
         # pure fixed-iteration benchmark mode
+        if dup_free:
+            rotate(col_pre_ref)
         jax.lax.fori_loop(
             0, max_iters, lambda _, c: (sweep(None, False), c)[1], 0
         )
         iters = jnp.full((1, Bt), float(max_iters), jnp.float32)
 
+    if dup_free:
+        rotate(col_post_ref)
     bits_ref[:] = (total_s[:] < 0).astype(bits_ref.dtype)
     # truthful ok: one final posterior syndrome over the emitted bits
     ok_ref[:] = 1.0 - syndrome_fail()
@@ -209,16 +349,13 @@ def make_layered_pallas_decoder(
     Z, nb, dcb = graph.Z, graph.nb, graph.dcb_max
     BE = graph.num_block_edges
 
-    # degree-grouped edge layout (same order as QCGraph.layer_order)
-    ge_be = []
-    groups = []
-    for deg, rows in graph.layer_groups:
-        groups.append((deg, len(rows), len(ge_be)))
-        for r in rows:
-            for e, _, _ in graph.layer_edges(r):
-                ge_be.append(e)
-    groups = tuple(groups)
-    ge_be = jnp.asarray(np.asarray(ge_be, np.int32))
+    groups, ge_be_np, ge_delta_np, col_pre_np, col_post_np, dup_free = (
+        sweep_layout(graph)
+    )
+    ge_be = jnp.asarray(ge_be_np)
+    ge_delta = jnp.asarray(ge_delta_np)
+    col_pre = jnp.asarray(col_pre_np)
+    col_post = jnp.asarray(col_post_np)
     be_col = jnp.asarray(graph.be_col)
     be_shift = jnp.asarray(graph.be_shift)
     be_shiftb = jnp.asarray((Z - np.asarray(graph.be_shift)) % Z)
@@ -226,6 +363,7 @@ def make_layered_pallas_decoder(
     kern = functools.partial(
         _kernel, groups=groups, nb=nb, Z=Z, Bt=batch_tile,
         alpha=alpha, beta=beta, max_iters=max_iters, early_term=early_term,
+        dup_free=dup_free,
     )
     msg_bytes = jnp.dtype(msg_dtype).itemsize
     llr_bytes = jnp.dtype(llr_dtype).itemsize
@@ -235,7 +373,8 @@ def make_layered_pallas_decoder(
     )
     vmem_limit = min(state_bytes + (1 << 23), 120 * 1024 * 1024)
 
-    def decode_impl(llr, ge_be, be_col, be_shift, be_shiftb):
+    def decode_impl(llr, ge_be, be_col, be_shift, be_shiftb, ge_delta,
+                    col_pre, col_post):
         # exactly one batch tile per call; decode() chunks larger batches
         B = llr.shape[0]
         B_pad = batch_tile
@@ -251,7 +390,7 @@ def make_layered_pallas_decoder(
         # DVB-S2 scale), blowing the VMEM cap. Sequential chunks have
         # identical throughput (the grid was sequential anyway).
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
+            num_scalar_prefetch=7,
             grid=(1,),
             in_specs=[
                 pl.BlockSpec((nb, Z, batch_tile), lambda b, *_: (0, 0, b),
@@ -284,7 +423,8 @@ def make_layered_pallas_decoder(
                 vmem_limit_bytes=int(vmem_limit),
             ),
             interpret=itp,
-        )(ge_be, be_col, be_shift, be_shiftb, llr_chunk)
+        )(ge_be, be_col, be_shift, be_shiftb, ge_delta, col_pre, col_post,
+          llr_chunk)
 
         bits, ok, iters = one_chunk(llr3)
         return DecodeResult(
@@ -298,11 +438,13 @@ def make_layered_pallas_decoder(
     def decode(llr):
         B = llr.shape[0]
         if B <= batch_tile:
-            return impl(llr, ge_be, be_col, be_shift, be_shiftb)
+            return impl(llr, ge_be, be_col, be_shift, be_shiftb, ge_delta,
+                        col_pre, col_post)
         # chunk large batches into one-tile kernel calls (a >1 pallas grid
         # double-buffers the big IO windows and busts the VMEM cap)
         outs = [
-            impl(llr[i : i + batch_tile], ge_be, be_col, be_shift, be_shiftb)
+            impl(llr[i : i + batch_tile], ge_be, be_col, be_shift, be_shiftb,
+                 ge_delta, col_pre, col_post)
             for i in range(0, B, batch_tile)
         ]
         return DecodeResult(

@@ -69,6 +69,7 @@ def decode_layered(
     all mb layers."""
     B = llr.shape[0]
     Z, nb = graph.Z, graph.nb
+    dup_free = graph.intra_layer_dup_free
     total0 = llr.T.astype(jnp.float32).reshape(nb, Z, B)
     C0 = jnp.zeros((graph.num_block_edges, Z, B), jnp.float32)
     done0 = ~_syndrome_fail(graph, total0)
@@ -94,11 +95,21 @@ def decode_layered(
                 [r - C[e] for r, (e, col, s) in zip(rolled, edges)]
             )  # [d, Z, B]
             Cnew = _cn_minsum_axis0(Vt, alpha, beta)
-            # posterior update: add the message delta, rolled back to the
-            # variable frame; then store the new check output. All indices
-            # static => dynamic_update_slice, never scatter (TPU-safe).
+            # posterior update. Dup-free graphs use the set form
+            # `extrinsic + Cnew` (same f32 op order as the Pallas kernel's
+            # alignment-carrying update, so the tiers stay bit-identical);
+            # graphs with intra-layer duplicate columns must ACCUMULATE via
+            # the delta-add form. All indices static =>
+            # dynamic_update_slice, never scatter (TPU-safe).
             for j, (e, col, s) in enumerate(edges):
-                total = total.at[col].add(jnp.roll(Cnew[j] - C[e], s, axis=0))
+                if dup_free:
+                    total = total.at[col].set(
+                        jnp.roll(Vt[j] + Cnew[j], s, axis=0)
+                    )
+                else:
+                    total = total.at[col].add(
+                        jnp.roll(Cnew[j] - C[e], s, axis=0)
+                    )
                 C = C.at[e].set(Cnew[j])
         return total, C, fail > 0.5
 

@@ -81,6 +81,24 @@ class QCGraph:
         return tuple(sorted(range(self.mb), key=lambda i: degs[i]))
 
     @property
+    def intra_layer_dup_free(self) -> bool:
+        """True when no block-row touches the same block-column twice.
+
+        Gates the alignment-carrying ("delta shift") layered update used by
+        both decode tiers: posteriors are stored in the rotation of the last
+        layer that touched them and written back as `slab + Cnew` (one roll
+        per edge-visit instead of two). With a duplicate column inside one
+        layer the second write would clobber the first's message update, so
+        such graphs take the 2-roll delta-add path instead. Standard QC
+        tables (802.11n/WiMAX/DVB-S2/5G NR) have one shift per base cell,
+        hence no duplicates."""
+        for i in range(self.mb):
+            cols = [c for _, c, _ in self.layer_edges(i)]
+            if len(cols) != len(set(cols)):
+                return False
+        return True
+
+    @property
     def layer_groups(self):
         """(degree, rows_tuple) groups following layer_order."""
         order = self.layer_order
