@@ -218,12 +218,13 @@ def _kernel(
                         Cnew = jnp.where(keep, Cold, Cnew)
                     # quantize through storage dtype BEFORE the posterior
                     # update so total and C stay consistent
-                    Cq = Cnew.astype(C_s.dtype).astype(jnp.float32)
+                    Cb = Cnew.astype(C_s.dtype)
+                    Cq = Cb.astype(jnp.float32)
                     if track:
                         total_s[col] = jnp.where(keep, rolledv, v + Cq)
                     else:
                         total_s[col] = v + Cq
-                    C_s[e] = Cq.astype(C_s.dtype)
+                    C_s[e] = Cb
                 return fail
             fail = jax.lax.fori_loop(0, nrows, layer, fail)
         return fail
@@ -272,11 +273,12 @@ def _kernel(
                     Cnew = (sgn_prod * sv) * mag
                     if track:
                         Cnew = jnp.where(keep, Cold, Cnew)
-                    Cq = Cnew.astype(C_s.dtype).astype(jnp.float32)
+                    Cb = Cnew.astype(C_s.dtype)
+                    Cq = Cb.astype(jnp.float32)
                     total_s[col] = total_s[col] + pltpu.roll(
                         Cq - Cold, be_shift_ref[e], 0
                     )
-                    C_s[e] = Cq.astype(C_s.dtype)
+                    C_s[e] = Cb
                 return fail
             fail = jax.lax.fori_loop(0, nrows, layer, fail)
         return fail
