@@ -52,6 +52,7 @@ from ...graph.qc import QCGraph
 from ..types import DecodeResult
 
 _MAG_CAP = 1e12
+_SGN_MASK = np.int32(-(2**31))  # 0x80000000: f32 sign bit
 
 
 def _round_up(x: int, m: int) -> int:
@@ -134,8 +135,9 @@ def _kernel(
     vrow_s,        # f32 [dcb, Z, Bt]
     *, groups: tuple, nb: int, Z: int, Bt: int,
     alpha: float, beta: float, max_iters: int, early_term: bool,
-    dup_free: bool,
+    dup_free: bool, sign_mode: str,
 ):
+    bitxor = sign_mode == "bitxor" and dup_free
     total_s[:] = llr_ref[:].astype(jnp.float32)
     C_s[:] = jnp.zeros_like(C_s)
 
@@ -174,6 +176,7 @@ def _kernel(
                 inf = jnp.full((Z, Bt), jnp.inf, jnp.float32)
                 zero = jnp.zeros((Z, Bt), jnp.float32)
                 min1, min2, negcnt, hardcnt = inf, inf, zero, zero
+                sgnacc = jnp.zeros((Z, Bt), jnp.int32)
                 for si in range(deg):
                     e = ge_be_ref[base + si]
                     rolled = pltpu.roll(total_s[be_col_ref[e]],
@@ -189,14 +192,25 @@ def _kernel(
                     a = jnp.abs(slab)
                     min2 = jnp.minimum(min2, jnp.maximum(min1, a))
                     min1 = jnp.minimum(min1, a)
-                    negcnt = negcnt + (slab < 0).astype(jnp.float32)
+                    if bitxor:
+                        # sign product as an XOR of f32 bit patterns: one
+                        # VPU op per edge vs compare+add (signbit
+                        # semantics: -0.0 counts as negative)
+                        sgnacc = sgnacc ^ jax.lax.bitcast_convert_type(
+                            slab, jnp.int32
+                        )
+                    else:
+                        negcnt = negcnt + (slab < 0).astype(jnp.float32)
                 if track:
                     hpar = hardcnt - 2.0 * jnp.floor(hardcnt * 0.5)
                     fail = jnp.maximum(
                         fail, jnp.max(hpar, axis=0, keepdims=True)
                     )
-                par = negcnt - 2.0 * jnp.floor(negcnt * 0.5)
-                sgn_prod = 1.0 - 2.0 * par
+                if bitxor:
+                    sgnbit = sgnacc & _SGN_MASK
+                else:
+                    par = negcnt - 2.0 * jnp.floor(negcnt * 0.5)
+                    sgn_prod = 1.0 - 2.0 * par
                 mag1 = jnp.maximum(alpha * jnp.minimum(min1, _MAG_CAP) - beta, 0.0)
                 mag2 = jnp.maximum(alpha * jnp.minimum(min2, _MAG_CAP) - beta, 0.0)
 
@@ -211,9 +225,23 @@ def _kernel(
                         v = rolledv - Cold
                     else:
                         v = vrow_s[si]
-                    sv = jnp.where(v < 0, -1.0, 1.0)
                     mag = jnp.where(jnp.abs(v) == min1, mag2, mag1)
-                    Cnew = (sgn_prod * sv) * mag
+                    if bitxor:
+                        # sign(Cnew) = sign-product XOR sign(v), applied by
+                        # OR-ing the flip bit onto the non-negative mag
+                        flip = (
+                            sgnbit ^ jax.lax.bitcast_convert_type(
+                                v, jnp.int32
+                            )
+                        ) & _SGN_MASK
+                        Cnew = jax.lax.bitcast_convert_type(
+                            jax.lax.bitcast_convert_type(mag, jnp.int32)
+                            | flip,
+                            jnp.float32,
+                        )
+                    else:
+                        sv = jnp.where(v < 0, -1.0, 1.0)
+                        Cnew = (sgn_prod * sv) * mag
                     if track:
                         Cnew = jnp.where(keep, Cold, Cnew)
                     # quantize through storage dtype BEFORE the posterior
@@ -334,8 +362,17 @@ def make_layered_pallas_decoder(
     interpret: Optional[bool] = None,
     msg_dtype=jnp.float32,
     llr_dtype=jnp.float32,
+    sign_mode: str = "bitxor",
 ):
     """decode(llr [B, n]) -> DecodeResult via the fused layered kernel.
+
+    sign_mode: 'count' tallies negative slabs per check (compare+add per
+    edge, sign conventions of (x < 0)); 'bitxor' accumulates the CN sign
+    product as an XOR of f32 bit patterns and ORs the flip bit onto the
+    magnitude — fewer VPU ops per edge-visit, signbit semantics (-0.0
+    counts as negative; the oracle's sign_mode='bitxor' matches
+    bit-exactly). 'bitxor' applies only on the dup-free delta path and
+    silently degrades to 'count' on graphs with intra-layer duplicates.
 
     msg_dtype: storage dtype of the C message array — the dominant VMEM
     consumer. bf16 halves it (required to fit DVB-S2 at Bt=128) at the cost
@@ -365,7 +402,7 @@ def make_layered_pallas_decoder(
     kern = functools.partial(
         _kernel, groups=groups, nb=nb, Z=Z, Bt=batch_tile,
         alpha=alpha, beta=beta, max_iters=max_iters, early_term=early_term,
-        dup_free=dup_free,
+        dup_free=dup_free, sign_mode=sign_mode,
     )
     msg_bytes = jnp.dtype(msg_dtype).itemsize
     llr_bytes = jnp.dtype(llr_dtype).itemsize

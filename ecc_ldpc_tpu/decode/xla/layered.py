@@ -26,11 +26,18 @@ from ..types import DecodeResult
 _MAG_CAP = 1e12
 
 
-def _cn_minsum_axis0(V, alpha: float, beta: float):
-    """Leave-one-out two-min CN update over axis 0 of [d, Z, B]."""
-    s = jnp.where(V < 0, -1.0, 1.0)
-    neg = (V < 0).astype(jnp.float32)
-    cnt = jnp.sum(neg, axis=0, keepdims=True)
+def _cn_minsum_axis0(V, alpha: float, beta: float, signbit: bool = False):
+    """Leave-one-out two-min CN update over axis 0 of [d, Z, B].
+
+    signbit=True uses IEEE sign-bit semantics (-0.0 is negative) — the
+    float-level equivalent of the Pallas kernel's sign_mode='bitxor'
+    integer XOR accumulation; bit-identical to it in f32."""
+    if signbit:
+        negb = jnp.signbit(V)
+    else:
+        negb = V < 0
+    s = jnp.where(negb, -1.0, 1.0)
+    cnt = jnp.sum(negb.astype(jnp.float32), axis=0, keepdims=True)
     sgn_prod = 1.0 - 2.0 * (cnt - 2.0 * jnp.floor(cnt * 0.5))
     a = jnp.abs(V)
     min1 = jnp.min(a, axis=0, keepdims=True)
@@ -64,9 +71,11 @@ def decode_layered(
     beta: float = 0.0,
     max_iters: int = 25,
     early_term: bool = True,
+    sign_mode: str = "bitxor",
 ) -> DecodeResult:
     """llr: f32 [B, n] -> DecodeResult. One iteration = one full sweep of
-    all mb layers."""
+    all mb layers. sign_mode='bitxor' selects IEEE signbit sign semantics
+    (matches the Pallas kernel's integer XOR sign accumulation)."""
     B = llr.shape[0]
     Z, nb = graph.Z, graph.nb
     dup_free = graph.intra_layer_dup_free
@@ -94,7 +103,8 @@ def decode_layered(
             Vt = jnp.stack(
                 [r - C[e] for r, (e, col, s) in zip(rolled, edges)]
             )  # [d, Z, B]
-            Cnew = _cn_minsum_axis0(Vt, alpha, beta)
+            Cnew = _cn_minsum_axis0(Vt, alpha, beta,
+                                    signbit=sign_mode == "bitxor")
             # posterior update. Dup-free graphs use the set form
             # `extrinsic + Cnew` (same f32 op order as the Pallas kernel's
             # alignment-carrying update, so the tiers stay bit-identical);
@@ -157,6 +167,7 @@ def make_layered_decoder(
     max_iters: int = 25,
     early_term: bool = True,
     jit: bool = True,
+    sign_mode: str = "bitxor",
 ):
     from ...graph.qc import QCGraph as _QC
 
@@ -169,7 +180,7 @@ def make_layered_decoder(
     def decode(llr):
         return decode_layered(
             graph, llr, alpha=alpha, beta=beta, max_iters=max_iters,
-            early_term=early_term,
+            early_term=early_term, sign_mode=sign_mode,
         )
 
     return jax.jit(decode) if jit else decode

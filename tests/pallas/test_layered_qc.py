@@ -86,6 +86,21 @@ def test_pallas_layered_multi_tile_and_pad(z16_code):
     assert np.array_equal(np.asarray(a.iterations), np.asarray(b.iterations))
 
 
+@pytest.mark.parametrize("sign_mode", ["count", "bitxor"])
+def test_sign_modes_match_oracle(z16_code, sign_mode):
+    """Both sign semantics stay bit-exact with their oracle twin; the two
+    modes differ only on sign of exact-zero messages (-0.0), so decoded
+    bits agree on this noisy batch either way."""
+    spec, qg, enc = z16_code
+    cw, llr = _tx(spec, enc, 32, 3.0, seed=21)
+    a = make_layered_decoder(qg, alpha=0.8125, max_iters=10,
+                             sign_mode=sign_mode)(llr)
+    b = make_layered_pallas_decoder(qg, alpha=0.8125, max_iters=10,
+                                    batch_tile=32, sign_mode=sign_mode)(llr)
+    assert np.array_equal(np.asarray(a.bits), np.asarray(b.bits))
+    assert np.array_equal(np.asarray(a.iterations), np.asarray(b.iterations))
+
+
 def test_supports_gate(z16_code):
     spec, qg, enc = z16_code
     assert supports(qg)
