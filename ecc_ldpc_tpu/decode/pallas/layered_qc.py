@@ -244,14 +244,20 @@ def _kernel(
                         Cnew = (sgn_prod * sv) * mag
                     if track:
                         Cnew = jnp.where(keep, Cold, Cnew)
-                    # quantize through storage dtype BEFORE the posterior
-                    # update so total and C stay consistent
                     Cb = Cnew.astype(C_s.dtype)
-                    Cq = Cb.astype(jnp.float32)
                     if track:
+                        # freeze path: quantize through storage dtype BEFORE
+                        # the posterior update so total and C stay consistent
+                        # (frozen lanes must restore bit-exactly)
+                        Cq = Cb.astype(jnp.float32)
                         total_s[col] = jnp.where(keep, rolledv, v + Cq)
                     else:
-                        total_s[col] = v + Cq
+                        # fixed-iteration path: posterior accumulates the
+                        # UNQUANTIZED message (messages quantize through
+                        # storage, posteriors stay f32 — the standard
+                        # fixed-point-decoder precision split; identical to
+                        # the quantized form when msg_dtype is f32)
+                        total_s[col] = v + Cnew
                     C_s[e] = Cb
                 return fail
             fail = jax.lax.fori_loop(0, nrows, layer, fail)
