@@ -207,12 +207,25 @@ def _kernel(
                         fail, jnp.max(hpar, axis=0, keepdims=True)
                     )
                 if bitxor:
-                    sgnbit = sgnacc & _SGN_MASK
+                    # no pre-mask: the flip computation below masks to the
+                    # sign bit anyway
+                    sgnbit = sgnacc
                 else:
                     par = negcnt - 2.0 * jnp.floor(negcnt * 0.5)
                     sgn_prod = 1.0 - 2.0 * par
-                mag1 = jnp.maximum(alpha * jnp.minimum(min1, _MAG_CAP) - beta, 0.0)
-                mag2 = jnp.maximum(alpha * jnp.minimum(min2, _MAG_CAP) - beta, 0.0)
+                if beta == 0.0 and not track:
+                    # offset-free fixed-iteration path: alpha*min is already
+                    # non-negative and finite (every row has degree >= 2 and
+                    # LLR inputs are finite), so the cap/clamp ops are dead
+                    mag1 = alpha * min1
+                    mag2 = alpha * min2
+                else:
+                    mag1 = jnp.maximum(
+                        alpha * jnp.minimum(min1, _MAG_CAP) - beta, 0.0
+                    )
+                    mag2 = jnp.maximum(
+                        alpha * jnp.minimum(min2, _MAG_CAP) - beta, 0.0
+                    )
 
                 # pass 2: emit messages; posterior written back IN THIS
                 # LAYER'S ALIGNMENT as slab + Cnew — no roll
