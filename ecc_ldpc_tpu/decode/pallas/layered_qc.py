@@ -33,9 +33,17 @@ Modes (identical semantics in decode/xla/layered.py):
   early_term=False: literally max_iters sweeps of min-sum — no freeze, no
     parity bookkeeping (the paper-comparable fixed-iteration benchmark).
 
-Hardware constraints (probed): dynamic-shift roll needs Z % 8 == 0; lane
-dim pads to 128. f32 message storage is bit-identical to the oracle
-(tests/pallas/); bf16 storage quantizes messages (BER-band tested).
+Hardware constraints (probed): dynamic-shift roll needs the sublane dim to
+be a multiple of 8; lane dim pads to 128. Codes whose Z is not a multiple
+of 8 (e.g. 802.11n Z in {27, 54, 81}) are handled by REPLICA PACKING:
+R = 8/gcd(Z, 8) independent codewords are interleaved along the sublane
+axis (sublane index z*R + r, padded dim Zp = Z*R). A global roll by R*s on
+that layout is exactly a per-replica circulant roll by s — the mod-Zp
+wraparound lands in the same replica because Zp = Z*R — so the kernel body
+is unchanged; only the shift tables scale by R, and per-replica
+syndrome/freeze state is kept via a log-tree cyclic max whose static roll
+steps are multiples of R. f32 message storage is bit-identical to the
+oracle (tests/pallas/); bf16 storage quantizes messages (BER-band tested).
 """
 from __future__ import annotations
 
@@ -61,14 +69,15 @@ def _round_up(x: int, m: int) -> int:
 
 def supports(graph: QCGraph, batch_tile: int = 128, msg_bytes: int = 2) -> bool:
     lanes = max(batch_tile, 128)  # lane dim pads to 128 either way
-    state = graph.Z * lanes * (
+    R = 8 // int(np.gcd(graph.Z, 8))  # replica packing factor (see below)
+    state = graph.Z * R * lanes * (
         msg_bytes * graph.num_block_edges  # C (msg_dtype)
         + 4 * graph.nb                     # total (f32)
         + 2 * graph.nb                     # llr in (bf16)
         + 1 * graph.nb                     # bits out (int8)
         + 4 * graph.dcb_max                # vrow (f32)
     )
-    return graph.Z % 8 == 0 and state <= 118 * 1024 * 1024
+    return state <= 118 * 1024 * 1024
 
 
 def sweep_layout(graph: QCGraph):
@@ -124,16 +133,16 @@ def _kernel(
     ge_delta_ref,  # int32 [sum(deg*nrows)] delta shifts (dup-free path)
     col_pre_ref,   # int32 [nb] entry rotation (dup-free path)
     col_post_ref,  # int32 [nb] exit rotation (dup-free path)
-    # VMEM in/out
-    llr_ref,       # llr_dtype [nb, Z, Bt]
-    bits_ref,      # int8 [nb, Z, Bt]
-    ok_ref,        # f32 [1, Bt]
-    iters_ref,     # f32 [1, Bt]
+    # VMEM in/out  (Z below is the PACKED sublane dim Zp = Z_base * R)
+    llr_ref,       # llr_dtype [nb, Zp, Bt]
+    bits_ref,      # int8 [nb, Zp, Bt]
+    ok_ref,        # f32 [8, Bt]
+    iters_ref,     # f32 [8, Bt]
     # scratch
-    total_s,       # f32 [nb, Z, Bt]
-    C_s,           # msg_dtype [BE, Z, Bt]
-    vrow_s,        # f32 [dcb, Z, Bt]
-    *, groups: tuple, nb: int, Z: int, Bt: int,
+    total_s,       # f32 [nb, Zp, Bt]
+    C_s,           # msg_dtype [BE, Zp, Bt]
+    vrow_s,        # f32 [dcb, Zp, Bt]
+    *, groups: tuple, nb: int, Z: int, Bt: int, R: int,
     alpha: float, beta: float, max_iters: int, early_term: bool,
     dup_free: bool, sign_mode: str,
 ):
@@ -141,10 +150,21 @@ def _kernel(
     total_s[:] = llr_ref[:].astype(jnp.float32)
     C_s[:] = jnp.zeros_like(C_s)
 
+    def replica_max(x):
+        """Cyclic max over the z index within each replica (sublane index
+        z*R + r): static rolls by R*2^j stay inside a replica, and after
+        ceil(log2(Z_base)) doubling steps every sublane holds its
+        replica's max. For R=1 this is a plain cyclic max over Z."""
+        shift = R
+        while shift < Z:  # 2^j < Z_base  <=>  R*2^j < Zp
+            x = jnp.maximum(x, pltpu.roll(x, shift, 0))
+            shift *= 2
+        return x
+
     def syndrome_fail():
-        """f32 [1, Bt]: 1.0 where some check is unsatisfied (posteriors,
-        variable-aligned storage)."""
-        fail = jnp.zeros((1, Bt), jnp.float32)
+        """f32 [Zp, Bt]: 1.0 on every sublane of a replica whose codeword
+        has some unsatisfied check (posteriors, variable-aligned)."""
+        fail = jnp.zeros((Z, Bt), jnp.float32)
         for deg, nrows, off in groups:
             def layer(li, fail, deg=deg, off=off):
                 acc = jnp.zeros((Z, Bt), jnp.float32)
@@ -153,9 +173,9 @@ def _kernel(
                     hard = (total_s[be_col_ref[e]] < 0).astype(jnp.float32)
                     acc = acc + pltpu.roll(hard, be_shiftb_ref[e], 0)
                 par = acc - 2.0 * jnp.floor(acc * 0.5)
-                return jnp.maximum(fail, jnp.max(par, axis=0, keepdims=True))
+                return jnp.maximum(fail, par)
             fail = jax.lax.fori_loop(0, nrows, layer, fail)
-        return fail
+        return replica_max(fail)
 
     def rotate(off_ref):
         def rot(i, c):
@@ -167,7 +187,7 @@ def _kernel(
         """One layered iteration, alignment-carrying form (1 roll/edge).
         Returns on-the-fly fail [1, Bt] (meaningful when track=True)."""
         keep = (frozen > 0.5) if track else None
-        fail = jnp.zeros((1, Bt), jnp.float32)
+        fail = jnp.zeros((Z, Bt), jnp.float32)
         for deg, nrows, off in groups:
             def layer(li, fail, deg=deg, off=off):
                 base = off + li * deg
@@ -203,9 +223,7 @@ def _kernel(
                         negcnt = negcnt + (slab < 0).astype(jnp.float32)
                 if track:
                     hpar = hardcnt - 2.0 * jnp.floor(hardcnt * 0.5)
-                    fail = jnp.maximum(
-                        fail, jnp.max(hpar, axis=0, keepdims=True)
-                    )
+                    fail = jnp.maximum(fail, hpar)
                 if bitxor:
                     # no pre-mask: the flip computation below masks to the
                     # sign bit anyway
@@ -274,14 +292,14 @@ def _kernel(
                     C_s[e] = Cb
                 return fail
             fail = jax.lax.fori_loop(0, nrows, layer, fail)
-        return fail
+        return replica_max(fail)
 
     def sweep_classic(frozen, track):
         """One layered iteration, 2-roll delta-add form (fallback for
         graphs with intra-layer duplicate columns: posterior updates for
         duplicates must ACCUMULATE)."""
         keep = (frozen > 0.5) if track else None
-        fail = jnp.zeros((1, Bt), jnp.float32)
+        fail = jnp.zeros((Z, Bt), jnp.float32)
         for deg, nrows, off in groups:
             def layer(li, fail, deg=deg, off=off):
                 base = off + li * deg
@@ -302,9 +320,7 @@ def _kernel(
                         hardcnt = hardcnt + (rolled < 0).astype(jnp.float32)
                 if track:
                     hpar = hardcnt - 2.0 * jnp.floor(hardcnt * 0.5)
-                    fail = jnp.maximum(
-                        fail, jnp.max(hpar, axis=0, keepdims=True)
-                    )
+                    fail = jnp.maximum(fail, hpar)
                 par = negcnt - 2.0 * jnp.floor(negcnt * 0.5)
                 sgn_prod = 1.0 - 2.0 * par
                 mag1 = jnp.maximum(alpha * jnp.minimum(min1, _MAG_CAP) - beta, 0.0)
@@ -328,7 +344,7 @@ def _kernel(
                     C_s[e] = Cb
                 return fail
             fail = jax.lax.fori_loop(0, nrows, layer, fail)
-        return fail
+        return replica_max(fail)
 
     sweep = sweep_delta if dup_free else sweep_classic
 
@@ -336,7 +352,7 @@ def _kernel(
         done0 = 1.0 - syndrome_fail()
         if dup_free:
             rotate(col_pre_ref)
-        iters0 = jnp.zeros((1, Bt), jnp.float32)
+        iters0 = jnp.zeros((Z, Bt), jnp.float32)
 
         def body(carry):
             done, iters, it = carry
@@ -359,14 +375,16 @@ def _kernel(
         jax.lax.fori_loop(
             0, max_iters, lambda _, c: (sweep(None, False), c)[1], 0
         )
-        iters = jnp.full((1, Bt), float(max_iters), jnp.float32)
+        iters = jnp.full((Z, Bt), float(max_iters), jnp.float32)
 
     if dup_free:
         rotate(col_post_ref)
     bits_ref[:] = (total_s[:] < 0).astype(bits_ref.dtype)
-    # truthful ok: one final posterior syndrome over the emitted bits
-    ok_ref[:] = 1.0 - syndrome_fail()
-    iters_ref[:] = iters
+    # truthful ok: one final posterior syndrome over the emitted bits.
+    # Sublane z*R + r at z = 0 holds replica r, so the first R (<= 8)
+    # sublanes carry the per-replica values; the wrapper slices them.
+    ok_ref[:] = (1.0 - syndrome_fail())[0:8]
+    iters_ref[:] = iters[0:8]
 
 
 def make_layered_pallas_decoder(
@@ -399,34 +417,39 @@ def make_layered_pallas_decoder(
     likewise for the input posteriors. The kernel computes in f32 either
     way and quantizes through the storage dtype so total/C stay consistent.
     """
-    if graph.Z % 8 != 0:
-        raise ValueError(
-            f"{graph.name}: pallas layered kernel needs Z % 8 == 0 (got Z="
-            f"{graph.Z}); use the xla layered tier or the fused_mm kernel"
-        )
     Z, nb, dcb = graph.Z, graph.nb, graph.dcb_max
     BE = graph.num_block_edges
+    # Replica packing: the dynamic-shift roll needs a sublane dim that is a
+    # multiple of 8. For Z % 8 != 0 (e.g. 802.11n Z in {27, 54, 81}) pack
+    # R = 8/gcd(Z, 8) independent codewords interleaved along sublanes
+    # (index z*R + r, padded dim Zp = Z*R): a global roll by R*s on that
+    # layout IS a per-replica circulant roll by s, because the mod-Zp
+    # wraparound lands back in the same replica.
+    R = 8 // np.gcd(Z, 8)
+    Zp = Z * R
+    CW = batch_tile * R  # codewords per kernel call
 
     groups, ge_be_np, ge_delta_np, col_pre_np, col_post_np, dup_free = (
         sweep_layout(graph)
     )
     ge_be = jnp.asarray(ge_be_np)
-    ge_delta = jnp.asarray(ge_delta_np)
-    col_pre = jnp.asarray(col_pre_np)
-    col_post = jnp.asarray(col_post_np)
+    # all shift tables scale by R for the packed layout
+    ge_delta = jnp.asarray(ge_delta_np * R)
+    col_pre = jnp.asarray(col_pre_np * R)
+    col_post = jnp.asarray(col_post_np * R)
     be_col = jnp.asarray(graph.be_col)
-    be_shift = jnp.asarray(graph.be_shift)
-    be_shiftb = jnp.asarray((Z - np.asarray(graph.be_shift)) % Z)
+    be_shift = jnp.asarray(np.asarray(graph.be_shift) * R)
+    be_shiftb = jnp.asarray(((Z - np.asarray(graph.be_shift)) % Z) * R)
 
     kern = functools.partial(
-        _kernel, groups=groups, nb=nb, Z=Z, Bt=batch_tile,
+        _kernel, groups=groups, nb=nb, Z=Zp, Bt=batch_tile, R=R,
         alpha=alpha, beta=beta, max_iters=max_iters, early_term=early_term,
         dup_free=dup_free, sign_mode=sign_mode,
     )
     msg_bytes = jnp.dtype(msg_dtype).itemsize
     llr_bytes = jnp.dtype(llr_dtype).itemsize
     lanes = max(batch_tile, 128)
-    state_bytes = Z * lanes * (
+    state_bytes = Zp * lanes * (
         msg_bytes * BE + 4 * nb + 4 * dcb + llr_bytes * nb + nb
     )
     vmem_limit = min(state_bytes + (1 << 23), 120 * 1024 * 1024)
@@ -435,15 +458,18 @@ def make_layered_pallas_decoder(
                     col_pre, col_post):
         # exactly one batch tile per call; decode() chunks larger batches
         B = llr.shape[0]
-        B_pad = batch_tile
-        llr3 = jnp.zeros((nb, Z, B_pad), llr_dtype)
-        llr3 = llr3.at[:, :, :B].set(
+        llr2 = jnp.zeros((nb, Z, CW), llr_dtype)
+        llr2 = llr2.at[:, :, :B].set(
             llr.T.astype(llr_dtype).reshape(nb, Z, B)
+        )
+        # codeword c = r*batch_tile + b lands on sublane z*R + r, lane b
+        llr3 = llr2.reshape(nb, Z, R, batch_tile).reshape(
+            nb, Zp, batch_tile
         )
         itp = interpret
         if itp is None:
             itp = jax.default_backend() != "tpu"
-        # One batch tile per pallas_call, chunked with lax.map: with a >1
+        # One batch tile per pallas_call, chunked by the wrapper: with a >1
         # grid, pallas double-buffers the llr/bits windows (+48 MB at
         # DVB-S2 scale), blowing the VMEM cap. Sequential chunks have
         # identical throughput (the grid was sequential anyway).
@@ -451,21 +477,21 @@ def make_layered_pallas_decoder(
             num_scalar_prefetch=7,
             grid=(1,),
             in_specs=[
-                pl.BlockSpec((nb, Z, batch_tile), lambda b, *_: (0, 0, b),
+                pl.BlockSpec((nb, Zp, batch_tile), lambda b, *_: (0, 0, b),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=(
-                pl.BlockSpec((nb, Z, batch_tile), lambda b, *_: (0, 0, b),
+                pl.BlockSpec((nb, Zp, batch_tile), lambda b, *_: (0, 0, b),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, batch_tile), lambda b, *_: (0, b),
+                pl.BlockSpec((8, batch_tile), lambda b, *_: (0, b),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, batch_tile), lambda b, *_: (0, b),
+                pl.BlockSpec((8, batch_tile), lambda b, *_: (0, b),
                              memory_space=pltpu.VMEM),
             ),
             scratch_shapes=[
-                pltpu.VMEM((nb, Z, batch_tile), jnp.float32),
-                pltpu.VMEM((BE, Z, batch_tile), msg_dtype),
-                pltpu.VMEM((dcb, Z, batch_tile), jnp.float32),
+                pltpu.VMEM((nb, Zp, batch_tile), jnp.float32),
+                pltpu.VMEM((BE, Zp, batch_tile), msg_dtype),
+                pltpu.VMEM((dcb, Zp, batch_tile), jnp.float32),
             ],
         )
         def one_chunk(llr_chunk):
@@ -473,9 +499,9 @@ def make_layered_pallas_decoder(
             kern,
             grid_spec=grid_spec,
             out_shape=(
-                jax.ShapeDtypeStruct((nb, Z, batch_tile), jnp.int8),
-                jax.ShapeDtypeStruct((1, batch_tile), jnp.float32),
-                jax.ShapeDtypeStruct((1, batch_tile), jnp.float32),
+                jax.ShapeDtypeStruct((nb, Zp, batch_tile), jnp.int8),
+                jax.ShapeDtypeStruct((8, batch_tile), jnp.float32),
+                jax.ShapeDtypeStruct((8, batch_tile), jnp.float32),
             ),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=int(vmem_limit),
@@ -484,26 +510,35 @@ def make_layered_pallas_decoder(
         )(ge_be, be_col, be_shift, be_shiftb, ge_delta, col_pre, col_post,
           llr_chunk)
 
-        bits, ok, iters = one_chunk(llr3)
+        bits, ok8, iters8 = one_chunk(llr3)
+        # unpack: sublane z*R + r of lane b is bit blk*Z + z of codeword
+        # c = r*batch_tile + b; ok/iters live on sublanes 0..R-1 (z = 0)
+        bits_cw = (
+            bits.reshape(nb, Z, R, batch_tile)
+            .transpose(2, 3, 0, 1)
+            .reshape(CW, nb * Z)
+        )
+        ok = ok8[:R].reshape(CW)
+        iters = iters8[:R].reshape(CW)
         return DecodeResult(
-            bits=(bits.reshape(nb * Z, B_pad)[:, :B] > 0).astype(jnp.uint8).T,
-            ok=ok[0, :B] > 0.5,
-            iterations=iters[0, :B].astype(jnp.int32),
+            bits=(bits_cw[:B] > 0).astype(jnp.uint8),
+            ok=ok[:B] > 0.5,
+            iterations=iters[:B].astype(jnp.int32),
         )
 
     impl = jax.jit(decode_impl) if jit else decode_impl
 
     def decode(llr):
         B = llr.shape[0]
-        if B <= batch_tile:
+        if B <= CW:
             return impl(llr, ge_be, be_col, be_shift, be_shiftb, ge_delta,
                         col_pre, col_post)
         # chunk large batches into one-tile kernel calls (a >1 pallas grid
         # double-buffers the big IO windows and busts the VMEM cap)
         outs = [
-            impl(llr[i : i + batch_tile], ge_be, be_col, be_shift, be_shiftb,
+            impl(llr[i : i + CW], ge_be, be_col, be_shift, be_shiftb,
                  ge_delta, col_pre, col_post)
-            for i in range(0, B, batch_tile)
+            for i in range(0, B, CW)
         ]
         return DecodeResult(
             bits=jnp.concatenate([o.bits for o in outs]),

@@ -104,9 +104,28 @@ def test_sign_modes_match_oracle(z16_code, sign_mode):
 def test_supports_gate(z16_code):
     spec, qg, enc = z16_code
     assert supports(qg)
-    base = surrogate_base(mb=4, nb=12, Z=27, seed=1)
-    spec27 = expand_qc(QCCode(Z=27, base=base), name="t27", k=8 * 27)
-    qg27 = compile_qc_graph(spec27)
-    assert not supports(qg27)
-    with pytest.raises(ValueError):
-        make_layered_pallas_decoder(qg27)
+
+
+@pytest.mark.parametrize("Z,R", [(27, 8), (54, 4)])
+def test_replica_packed_matches_oracle(Z, R):
+    """Z % 8 != 0 codes run via replica packing: R = 8/gcd(Z,8) codewords
+    interleaved along the sublane axis, global rolls scaled by R. Must be
+    bit-exact vs the unpacked oracle in both modes, across a padded
+    partial chunk and a multi-chunk batch."""
+    base = surrogate_base(mb=4, nb=12, Z=Z, seed=1)
+    spec = expand_qc(QCCode(Z=Z, base=base), name=f"t{Z}", k=8 * Z)
+    qg = compile_qc_graph(spec)
+    assert supports(qg)
+    enc = DualDiagonalEncoder(spec)
+    CW = 8 * R  # batch_tile=8 below
+    cw, llr = _tx(spec, enc, CW + 5, 3.0, seed=5)
+    for et in (True, False):
+        a = make_layered_decoder(qg, alpha=0.8125, max_iters=10,
+                                 early_term=et)(llr)
+        b = make_layered_pallas_decoder(qg, alpha=0.8125, max_iters=10,
+                                        early_term=et, batch_tile=8)(llr)
+        assert np.array_equal(np.asarray(a.bits), np.asarray(b.bits)), et
+        assert np.array_equal(np.asarray(a.ok), np.asarray(b.ok)), et
+        assert np.array_equal(
+            np.asarray(a.iterations), np.asarray(b.iterations)
+        ), et
