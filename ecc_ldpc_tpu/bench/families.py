@@ -34,6 +34,10 @@ DEFAULT_CONFIGS = [
     ("dvbs2/64800/34", "layered/norm:0.8125/25/noet", 1024, 3.0),
     ("nr5g/bg1/384", "layered/norm:0.8125/25/noet", 512, 2.0),
     ("nr5g/bg2/384", "layered/norm:0.8125/25/noet", 512, 2.5),
+    # rate-matched (n_tx) specs: inert extension rows truncated, decode
+    # work scales with the transmitted length (codes/nr5g.py)
+    ("nr5g/bg1/384/8448/12672", "layered/norm:0.8125/25/noet", 1024, 3.0),
+    ("nr5g/bg2/384/3840/7680", "layered/norm:0.8125/25/noet", 1024, 2.5),
 ]
 
 

@@ -152,7 +152,21 @@ def nr5g(
             raise ValueError("n_tx exceeds available transmitted bits")
         # transmitted bits are (2Zc..n) minus filler; puncture the tail
         tx = [i for i in range(2 * Zc, n) if not (k <= i < k_full)]
-        punct += tx[n_tx:]
+        if n_tx < len(tx):
+            b0 = tx[n_tx]  # first punctured tail bit
+            # GRAPH TRUNCATION: an extension row whose degree-1 parity
+            # block-column is entirely punctured is permanently inert (its
+            # parity VN feeds back extrinsic LLR 0, zeroing every outgoing
+            # CN message magnitude), so dropping row+column is exactly
+            # BER-preserving while decode work scales with the rate-matched
+            # length (tests/unit/test_nr5g.py). Extension parity block-col
+            # kb+4+(r-4) is fully punctured iff its first bit >= b0.
+            mb_used = min(mb, 4 + max(0, (b0 - 1) // Zc - (kb + 3)))
+            if mb_used < mb:
+                base = base[:mb_used, : kb + 4 + (mb_used - 4)]
+                mb = mb_used
+                n = (kb + 4 + (mb_used - 4)) * Zc
+            punct += [b for b in tx[n_tx:] if b < n]
     qc = QCCode(Z=Zc, base=base)
     return expand_qc(
         qc,

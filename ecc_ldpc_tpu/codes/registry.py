@@ -62,7 +62,14 @@ def _register_builtins() -> None:
     register("80211n", lambda n, rate: ieee80211n(int(n), rate))
     register("wimax", lambda n, rate: wimax(int(n), rate))
     register("dvbs2", lambda n, rate: dvbs2(int(n), rate))
-    register("nr5g", lambda bg, zc, k=None: nr5g(bg, int(zc), None if k is None else int(k)))
+    def _nr5g(bg, zc, k=None, n_tx=None):
+        return nr5g(
+            bg, int(zc),
+            None if k is None else int(k),
+            None if n_tx is None else int(n_tx),
+        )
+
+    register("nr5g", _nr5g)
 
     def _punct(inner, positions):
         from .puncture import parse_positions, puncture

@@ -96,3 +96,49 @@ def test_bad_args():
         nr5g("bg1", 100)
     with pytest.raises(ValueError):
         nr5g("bg1", 384, k=0)
+
+
+def test_rate_matched_truncation_equivalent():
+    """n_tx rate matching drops extension rows whose degree-1 parity is
+    entirely punctured. Those checks are permanently inert (their parity
+    VN returns extrinsic LLR 0, zeroing every outgoing message), so the
+    truncated decode must produce bit-identical posteriors to the full
+    mother graph with the tail LLRs zeroed."""
+    from ecc_ldpc_tpu.decode import make_decoder
+    from ecc_ldpc_tpu.graph import compile_graph
+
+    Zc = 16
+    k = 10 * Zc
+    n_tx = 20 * Zc  # rate 1/2
+    t = nr5g("bg2", Zc, k=k, n_tx=n_tx)
+    f = nr5g("bg2", Zc, k=k)
+    assert t.n < f.n and t.m < f.m
+    assert abs(t.rate - k / n_tx) < 1e-9
+
+    enc_t, enc_f = build_encoder(t), build_encoder(f)
+    key = jax.random.key(7)
+    msg = jax.random.bernoulli(key, 0.5, (24, k)).astype(jnp.uint8)
+    cw_t, cw_f = np.asarray(enc_t(msg)), np.asarray(enc_f(msg))
+    # parities are computed sequentially, so truncation is a prefix
+    assert np.array_equal(cw_t, cw_f[:, : t.n])
+
+    # one channel realization; identical LLRs on shared transmitted
+    # positions, zeros on everything rate-matching would not transmit
+    sigma = 0.7
+    noise = np.asarray(
+        jax.random.normal(jax.random.fold_in(key, 1), cw_f.shape)
+    )
+    llr_f = 2.0 * ((1.0 - 2.0 * cw_f.astype(np.float32)) + sigma * noise) / sigma**2
+    llr_f[:, np.asarray(t.punctured_cols)] = 0.0
+    llr_f[:, t.n :] = 0.0
+    llr_t = llr_f[:, : t.n].copy()
+
+    # flooding schedule: schedule-free, so the two graphs are comparable
+    # message-for-message (fixed iterations; no early termination)
+    dec_t = make_decoder(compile_graph(t), "minsum", alpha=0.8125,
+                         max_iters=12, early_term=False, backend="xla")
+    dec_f = make_decoder(compile_graph(f), "minsum", alpha=0.8125,
+                         max_iters=12, early_term=False, backend="xla")
+    bt = np.asarray(dec_t(jnp.asarray(llr_t)).bits)
+    bf = np.asarray(dec_f(jnp.asarray(llr_f)).bits)
+    assert np.array_equal(bt, bf[:, : t.n])
