@@ -136,13 +136,13 @@ def _kernel(
     # VMEM in/out  (Z below is the PACKED sublane dim Zp = Z_base * R)
     llr_ref,       # llr_dtype [nb, Zp, Bt]
     bits_ref,      # int8 [nb, Zp, Bt]
-    ok_ref,        # f32 [8, Bt]
-    iters_ref,     # f32 [8, Bt]
+    ok_ref,        # f32 [Rp, Bt]  per-replica ok on sublanes 0..R-1
+    iters_ref,     # f32 [Rp, Bt]
     # scratch
     total_s,       # f32 [nb, Zp, Bt]
     C_s,           # msg_dtype [BE, Zp, Bt]
     vrow_s,        # f32 [dcb, Zp, Bt]
-    *, groups: tuple, nb: int, Z: int, Bt: int, R: int,
+    *, groups: tuple, nb: int, Z: int, Bt: int, R: int, Rp: int,
     alpha: float, beta: float, max_iters: int, early_term: bool,
     dup_free: bool, sign_mode: str,
 ):
@@ -381,10 +381,10 @@ def _kernel(
         rotate(col_post_ref)
     bits_ref[:] = (total_s[:] < 0).astype(bits_ref.dtype)
     # truthful ok: one final posterior syndrome over the emitted bits.
-    # Sublane z*R + r at z = 0 holds replica r, so the first R (<= 8)
+    # Sublane z*R + r at z = 0 holds replica r, so the first R (<= Rp)
     # sublanes carry the per-replica values; the wrapper slices them.
-    ok_ref[:] = (1.0 - syndrome_fail())[0:8]
-    iters_ref[:] = iters[0:8]
+    ok_ref[:] = (1.0 - syndrome_fail())[0:Rp]
+    iters_ref[:] = iters[0:Rp]
 
 
 def make_layered_pallas_decoder(
@@ -400,6 +400,7 @@ def make_layered_pallas_decoder(
     msg_dtype=jnp.float32,
     llr_dtype=jnp.float32,
     sign_mode: str = "bitxor",
+    pack: int | str = "auto",
 ):
     """decode(llr [B, n]) -> DecodeResult via the fused layered kernel.
 
@@ -424,8 +425,28 @@ def make_layered_pallas_decoder(
     # R = 8/gcd(Z, 8) independent codewords interleaved along sublanes
     # (index z*R + r, padded dim Zp = Z*R): a global roll by R*s on that
     # layout IS a per-replica circulant roll by s, because the mod-Zp
-    # wraparound lands back in the same replica.
-    R = 8 // np.gcd(Z, 8)
+    # wraparound lands back in the same replica. The identity holds for ANY
+    # R that is a multiple of 8/gcd(Z, 8), so callers may OVER-pack
+    # (pack=R beyond the minimum) to trade batch-dim chunks for bigger
+    # [Zp, Bt] slabs. Measured on real TPU (experiments/pack_sweep.py,
+    # 2026-08-17): over-packing is throughput-neutral at best (Z=24/27/54
+    # within run noise, ~5%) and NEGATIVE for Z>=96 (wimax/2304 Z=96:
+    # R=2 is -11% vs R=1), so 'auto' always picks the minimum R.
+    r_min = 8 // int(np.gcd(Z, 8))
+    msg_bytes = jnp.dtype(msg_dtype).itemsize
+    llr_bytes = jnp.dtype(llr_dtype).itemsize
+    lanes = max(batch_tile, 128)
+    per_sublane = lanes * (msg_bytes * BE + 4 * nb + 4 * dcb
+                           + llr_bytes * nb + nb)
+    if pack == "auto":
+        R = r_min
+    else:
+        R = int(pack)
+        if R % r_min or Z * R % 8:
+            raise ValueError(
+                f"pack={R} must be a multiple of 8/gcd(Z,8)={r_min}"
+            )
+    Rp = _round_up(R, 8)  # ok/iters output rows (sublane-padded)
     Zp = Z * R
     CW = batch_tile * R  # codewords per kernel call
 
@@ -442,16 +463,11 @@ def make_layered_pallas_decoder(
     be_shiftb = jnp.asarray(((Z - np.asarray(graph.be_shift)) % Z) * R)
 
     kern = functools.partial(
-        _kernel, groups=groups, nb=nb, Z=Zp, Bt=batch_tile, R=R,
+        _kernel, groups=groups, nb=nb, Z=Zp, Bt=batch_tile, R=R, Rp=Rp,
         alpha=alpha, beta=beta, max_iters=max_iters, early_term=early_term,
         dup_free=dup_free, sign_mode=sign_mode,
     )
-    msg_bytes = jnp.dtype(msg_dtype).itemsize
-    llr_bytes = jnp.dtype(llr_dtype).itemsize
-    lanes = max(batch_tile, 128)
-    state_bytes = Zp * lanes * (
-        msg_bytes * BE + 4 * nb + 4 * dcb + llr_bytes * nb + nb
-    )
+    state_bytes = Zp * per_sublane
     vmem_limit = min(state_bytes + (1 << 23), 120 * 1024 * 1024)
 
     def decode_impl(llr, ge_be, be_col, be_shift, be_shiftb, ge_delta,
@@ -483,9 +499,9 @@ def make_layered_pallas_decoder(
             out_specs=(
                 pl.BlockSpec((nb, Zp, batch_tile), lambda b, *_: (0, 0, b),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, batch_tile), lambda b, *_: (0, b),
+                pl.BlockSpec((Rp, batch_tile), lambda b, *_: (0, b),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, batch_tile), lambda b, *_: (0, b),
+                pl.BlockSpec((Rp, batch_tile), lambda b, *_: (0, b),
                              memory_space=pltpu.VMEM),
             ),
             scratch_shapes=[
@@ -500,8 +516,8 @@ def make_layered_pallas_decoder(
             grid_spec=grid_spec,
             out_shape=(
                 jax.ShapeDtypeStruct((nb, Zp, batch_tile), jnp.int8),
-                jax.ShapeDtypeStruct((8, batch_tile), jnp.float32),
-                jax.ShapeDtypeStruct((8, batch_tile), jnp.float32),
+                jax.ShapeDtypeStruct((Rp, batch_tile), jnp.float32),
+                jax.ShapeDtypeStruct((Rp, batch_tile), jnp.float32),
             ),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=int(vmem_limit),

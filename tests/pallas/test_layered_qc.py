@@ -129,3 +129,33 @@ def test_replica_packed_matches_oracle(Z, R):
         assert np.array_equal(
             np.asarray(a.iterations), np.asarray(b.iterations)
         ), et
+
+@pytest.mark.parametrize("Z,R", [(27, 16), (16, 8)])
+def test_over_packed_matches_oracle(Z, R):
+    """Over-packing (R beyond the minimum 8/gcd(Z,8), incl. R > 8 which
+    exercises the widened [Rp, Bt] ok/iters outputs) is the same replica
+    identity — must stay bit-exact vs the unpacked oracle in both modes."""
+    base = surrogate_base(mb=4, nb=12, Z=Z, seed=2)
+    spec = expand_qc(QCCode(Z=Z, base=base), name=f"op{Z}", k=8 * Z)
+    qg = compile_qc_graph(spec)
+    enc = DualDiagonalEncoder(spec)
+    cw, llr = _tx(spec, enc, 8 * R + 3, 3.0, seed=9)
+    for et in (True, False):
+        a = make_layered_decoder(qg, alpha=0.8125, max_iters=10,
+                                 early_term=et)(llr)
+        b = make_layered_pallas_decoder(qg, alpha=0.8125, max_iters=10,
+                                        early_term=et, batch_tile=8,
+                                        pack=R)(llr)
+        assert np.array_equal(np.asarray(a.bits), np.asarray(b.bits)), et
+        assert np.array_equal(np.asarray(a.ok), np.asarray(b.ok)), et
+        assert np.array_equal(
+            np.asarray(a.iterations), np.asarray(b.iterations)
+        ), et
+
+
+def test_bad_pack_rejected():
+    base = surrogate_base(mb=4, nb=12, Z=27, seed=2)
+    spec = expand_qc(QCCode(Z=27, base=base), name="bp", k=8 * 27)
+    qg = compile_qc_graph(spec)
+    with pytest.raises(ValueError):
+        make_layered_pallas_decoder(qg, pack=4)  # not a multiple of 8
