@@ -1,0 +1,200 @@
+"""Experiment: fully-static layer sweep vs the dynamic (SMEM-prefetched)
+fixed-iteration layered kernel.
+
+Hypothesis, from the ablation data (experiments/ablate_layered.py: the
+"floor" variant with rolls/sign/min2/vrow/castq all stripped is only ~10%
+faster than the full kernel): the per-edge-visit cost is dominated by
+FIXED overheads — scalar loads from SMEM, dynamic VMEM addressing, and
+the per-layer fori_loop barrier that stops Mosaic scheduling across
+layers — not by arithmetic issue slots or VMEM bandwidth. A fully-static
+sweep (python-unrolled layers, compile-time slab indices, compile-time
+roll shifts, no scalar prefetch) removes all three at the cost of
+per-code compile specialization.
+
+Run: JAX_COMPILATION_CACHE_DIR=/root/jax_cache python experiments/static_unroll.py
+"""
+from __future__ import annotations
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ecc_ldpc_tpu.codes import get_code
+from ecc_ldpc_tpu.decode.pallas.layered_qc import sweep_layout
+from ecc_ldpc_tpu.graph import compile_qc_graph
+
+_MAG_CAP = 1e12
+_SGN_MASK = np.int32(-(2**31))
+Bt = 128
+ITERS = 25
+ALPHA = 0.8125
+
+
+def _kernel_static(llr_ref, bits_ref, total_s, C_s, *, plan, nb, Z):
+    """plan: tuple of rows; each row = tuple of (e, col, delta) ints."""
+    total_s[:] = llr_ref[:].astype(jnp.float32)
+    C_s[:] = jnp.zeros_like(C_s)
+
+    def sweep(_, c):
+        for row in plan:
+            inf = jnp.full((Z, Bt), jnp.inf, jnp.float32)
+            min1, min2 = inf, inf
+            sgnacc = jnp.zeros((Z, Bt), jnp.int32)
+            vals = []
+            for e, col, delta in row:
+                t = total_s[col]
+                rolled = pltpu.roll(t, delta, 0) if delta else t
+                slab = rolled - C_s[e].astype(jnp.float32)
+                vals.append(slab)
+                a = jnp.abs(slab)
+                min2 = jnp.minimum(min2, jnp.maximum(min1, a))
+                min1 = jnp.minimum(min1, a)
+                sgnacc = sgnacc ^ jax.lax.bitcast_convert_type(
+                    slab, jnp.int32)
+            sgnbit = sgnacc & _SGN_MASK
+            mag1 = ALPHA * min1
+            mag2 = ALPHA * min2
+            for (e, col, delta), v in zip(row, vals):
+                mag = jnp.where(jnp.abs(v) == min1, mag2, mag1)
+                flip = (sgnbit ^ jax.lax.bitcast_convert_type(
+                    v, jnp.int32)) & _SGN_MASK
+                Cnew = jax.lax.bitcast_convert_type(
+                    jax.lax.bitcast_convert_type(mag, jnp.int32) | flip,
+                    jnp.float32)
+                Cb = Cnew.astype(C_s.dtype)
+                total_s[col] = v + Cb.astype(jnp.float32)
+                C_s[e] = Cb
+        return c
+
+    jax.lax.fori_loop(0, ITERS, sweep, 0)
+    bits_ref[:] = (total_s[:] < 0).astype(bits_ref.dtype)
+
+
+def build_static(graph):
+    groups, ge_be, ge_delta, _, _, dup_free = sweep_layout(graph)
+    assert dup_free
+    nb, Z, BE = graph.nb, graph.Z, graph.num_block_edges
+    col = np.asarray(graph.be_col_np, np.int64)
+    plan = []
+    for deg, nrows, off in groups:
+        for li in range(nrows):
+            base = off + li * deg
+            plan.append(tuple(
+                (int(ge_be[base + si]), int(col[ge_be[base + si]]),
+                 int(ge_delta[base + si]))
+                for si in range(deg)))
+    kern = functools.partial(_kernel_static, plan=tuple(plan), nb=nb, Z=Z)
+    state = Z * Bt * (2 * BE + 2 * nb + 4 * nb + nb)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(1,),
+        in_specs=[pl.BlockSpec((nb, Z, Bt), lambda b: (0, 0, b),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((nb, Z, Bt), lambda b: (0, 0, b),
+                                memory_space=pltpu.VMEM),),
+        scratch_shapes=[
+            pltpu.VMEM((nb, Z, Bt), jnp.float32),
+            pltpu.VMEM((BE, Z, Bt), jnp.bfloat16),
+        ],
+    )
+
+    @jax.jit
+    def decode(llr3):
+        return pl.pallas_call(
+            kern, grid_spec=grid_spec,
+            out_shape=(jax.ShapeDtypeStruct((nb, Z, Bt), jnp.int8),),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=int(min(state + (1 << 23), 120 << 20))),
+        )(llr3)[0]
+
+    return decode
+
+
+def timed(decode, llr3, chain=10, tries=3):
+    @jax.jit
+    def run(l):
+        def body(_, l):
+            return l + (1e-9 * decode(l).astype(jnp.float32)).astype(l.dtype)
+        return jnp.sum(jax.lax.fori_loop(0, chain, body, l)[:, 0, 0])
+
+    float(run(llr3))
+    ts = []
+    for _ in range(tries):
+        t0 = time.perf_counter()
+        float(run(llr3))
+        ts.append((time.perf_counter() - t0) / chain)
+    return float(np.median(ts))
+
+
+def main():
+    import ecc_ldpc_tpu.decode.pallas.layered_qc as lq
+
+    spec = get_code("dvbs2/64800/12")
+    graph = compile_qc_graph(spec)
+    rng = np.random.default_rng(0)
+    llr3 = jnp.asarray(rng.standard_normal((graph.nb, graph.Z, Bt)) + 2.0,
+                       jnp.bfloat16)
+    k = spec.k
+
+    # production kernel (dynamic, SMEM prefetch) as the same-process baseline
+    dec_dyn = lq.make_layered_pallas_decoder(
+        graph, alpha=ALPHA, max_iters=ITERS, early_term=False,
+        msg_dtype=jnp.bfloat16, llr_dtype=jnp.bfloat16)
+    llr2 = jnp.asarray(
+        rng.standard_normal((Bt, spec.n)).astype(np.float32) + 2.0)
+    from ecc_ldpc_tpu.bench.throughput import chained_decode_time
+    t = chained_decode_time(dec_dyn, llr2, chain=10)
+    print(f"dynamic  {t*1e3:7.2f} ms/decode  {Bt*k/t/1e6:7.1f} Mbit/s",
+          flush=True)
+
+    t0 = time.perf_counter()
+    dec_st = build_static(graph)
+    t = timed(dec_st, llr3)
+    print(f"static   {t*1e3:7.2f} ms/decode  {Bt*k/t/1e6:7.1f} Mbit/s "
+          f"(build+compile {time.perf_counter()-t0:.0f}s)", flush=True)
+
+    # overlapped regime: 8 one-tile calls inside one jit (production
+    # chunking shape) — B=1024 equivalent. The single-tile numbers above
+    # are latency-bound; this is the configuration the bench runs in.
+    llr8 = jnp.asarray(
+        rng.standard_normal((8, graph.nb, graph.Z, Bt)) + 2.0, jnp.bfloat16)
+
+    def chunked(dec):
+        def f(l8):
+            outs = [dec(l8[i]) for i in range(8)]
+            return jnp.stack(outs)
+        return jax.jit(f)
+
+    # dynamic kernel in the same chunk harness, via its internal impl:
+    dec_dyn1 = lq.make_layered_pallas_decoder(
+        graph, alpha=ALPHA, max_iters=ITERS, early_term=False,
+        msg_dtype=jnp.bfloat16, llr_dtype=jnp.bfloat16, jit=False)
+
+    for name, dec in (("static8", dec_st),):
+        run = chunked(dec)
+
+        @jax.jit
+        def chain_run(l8, run=run):
+            def body(_, l):
+                return l + (1e-9 * run(l).astype(jnp.float32)).astype(l.dtype)
+            return jnp.sum(
+                jax.lax.fori_loop(0, 5, body, l8)[:, :, 0, 0])
+
+        float(chain_run(llr8))
+        ts = []
+        for _ in range(3):
+            tt = time.perf_counter()
+            float(chain_run(llr8))
+            ts.append((time.perf_counter() - tt) / 5)
+        t = float(np.median(ts))
+        print(f"{name}  {t*1e3:7.2f} ms/8tiles  {t*1e3/8:6.2f} ms/tile  "
+              f"{8*Bt*k/t/1e6:7.1f} Mbit/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
