@@ -44,8 +44,8 @@ def main() -> int:
                     batch=1024, ebn0_db=1.5,
                 )
                 line["r12_mbps"] = round(r12.throughput_mbps, 3)
-            except Exception:  # noqa: BLE001 — headline already measured
-                pass
+            except Exception as e:  # noqa: BLE001 — headline already measured
+                print(f"r12 leg failed: {e!r}", file=sys.stderr)
         print(json.dumps(line))
         return 0
     print(f"bench failed: {last_err}", file=sys.stderr)

@@ -442,9 +442,10 @@ def make_layered_pallas_decoder(
         R = r_min
     else:
         R = int(pack)
-        if R % r_min or Z * R % 8:
+        if R <= 0 or R % r_min:
             raise ValueError(
-                f"pack={R} must be a multiple of 8/gcd(Z,8)={r_min}"
+                f"pack={R} must be a positive multiple of "
+                f"8/gcd(Z,8)={r_min}"
             )
     Rp = _round_up(R, 8)  # ok/iters output rows (sublane-padded)
     Zp = Z * R

@@ -170,11 +170,11 @@ def main():
             return jnp.stack(outs)
         return jax.jit(f)
 
-    # dynamic kernel in the same chunk harness, via its internal impl:
-    dec_dyn1 = lq.make_layered_pallas_decoder(
-        graph, alpha=ALPHA, max_iters=ITERS, early_term=False,
-        msg_dtype=jnp.bfloat16, llr_dtype=jnp.bfloat16, jit=False)
-
+    # The dynamic kernel's overlapped baseline is the production B=1024
+    # path (8 wrapper-chunked one-tile calls; measure with
+    # chained_decode_time(dec_dyn, llr[1024, n])) — its wrapper consumes
+    # [B, n] so it cannot ride this tile-level harness. Measured same-day:
+    # 5.65 ms/tile, statistically identical to static8 below.
     for name, dec in (("static8", dec_st),):
         run = chunked(dec)
 
