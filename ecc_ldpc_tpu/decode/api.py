@@ -46,6 +46,11 @@ def make_decoder(
 
             from .pallas import layered_qc
 
+            if not isinstance(graph, QCGraph):
+                raise TypeError(
+                    "layered decoding needs a QCGraph (compile with "
+                    "graph.qc.compile_qc_graph on a QC code spec)"
+                )
             msg_dtype = (
                 jnp.float32
                 if layered_qc.supports(graph, msg_bytes=4)
@@ -96,7 +101,17 @@ def make_decoder(
             elif kind in ("spa", "minsum") and dense_mm.supports(graph):
                 backend = "xla-mm"
             else:
-                backend = "pallas"
+                # No TPU-safe tier fits this request: the gather tier
+                # crashes the platform compiler (see dense_mm.py) and the
+                # incidence tiers gate on kind/size above.
+                raise NotImplementedError(
+                    f"no TPU backend for kind={kind!r} on this graph "
+                    f"(n={graph.n}, {graph.num_edges} edges): the "
+                    f"incidence-matmul tiers support spa/minsum up to "
+                    f"~4k-variable codes; compile QC codes with "
+                    f"compile_qc_graph for the roll/layered tiers, or "
+                    f"run on CPU (backend='xla') for other forms"
+                )
         else:
             backend = "xla"
         return make_decoder(

@@ -38,14 +38,16 @@ def _round_up(x: int, m: int) -> int:
 
 def supports(
     graph: QCGraph, batch_tile: int = 128, msg_bytes: int = 2,
-    total_bytes: int = 2, acc_bytes: int = 2,
+    total_bytes: int = 2, acc_bytes: int = 2, llr_bytes: int | None = None,
 ) -> bool:
+    if llr_bytes is None:
+        llr_bytes = msg_bytes  # dispatch sets llr_dtype = msg_dtype
     lanes = max(batch_tile, 128)
     state = graph.Z * lanes * (
         msg_bytes * graph.num_block_edges   # C
         + total_bytes * graph.nb            # total (stale posteriors)
         + acc_bytes * graph.nb              # acc
-        + 2 * graph.nb                      # llr in (bf16)
+        + llr_bytes * graph.nb              # llr in (llr_dtype)
         + 1 * graph.nb                      # bits out (int8)
     )
     return graph.Z % 8 == 0 and state <= 124 * 1024 * 1024

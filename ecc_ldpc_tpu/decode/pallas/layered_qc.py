@@ -67,13 +67,18 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def supports(graph: QCGraph, batch_tile: int = 128, msg_bytes: int = 2) -> bool:
+def supports(
+    graph: QCGraph, batch_tile: int = 128, msg_bytes: int = 2,
+    llr_bytes: int | None = None,
+) -> bool:
+    if llr_bytes is None:
+        llr_bytes = msg_bytes  # dispatch sets llr_dtype = msg_dtype
     lanes = max(batch_tile, 128)  # lane dim pads to 128 either way
     R = 8 // int(np.gcd(graph.Z, 8))  # replica packing factor (see below)
     state = graph.Z * R * lanes * (
         msg_bytes * graph.num_block_edges  # C (msg_dtype)
         + 4 * graph.nb                     # total (f32)
-        + 2 * graph.nb                     # llr in (bf16)
+        + llr_bytes * graph.nb             # llr in (llr_dtype)
         + 1 * graph.nb                     # bits out (int8)
         + 4 * graph.dcb_max                # vrow (f32)
     )
@@ -144,7 +149,7 @@ def _kernel(
     vrow_s,        # f32 [dcb, Zp, Bt]
     *, groups: tuple, nb: int, Z: int, Bt: int, R: int, Rp: int,
     alpha: float, beta: float, max_iters: int, early_term: bool,
-    dup_free: bool, sign_mode: str,
+    dup_free: bool, sign_mode: str, fast_mag: bool = True,
 ):
     bitxor = sign_mode == "bitxor" and dup_free
     total_s[:] = llr_ref[:].astype(jnp.float32)
@@ -231,10 +236,11 @@ def _kernel(
                 else:
                     par = negcnt - 2.0 * jnp.floor(negcnt * 0.5)
                     sgn_prod = 1.0 - 2.0 * par
-                if beta == 0.0 and not track:
+                if beta == 0.0 and fast_mag and not track:
                     # offset-free fixed-iteration path: alpha*min is already
-                    # non-negative and finite (every row has degree >= 2 and
-                    # LLR inputs are finite), so the cap/clamp ops are dead
+                    # non-negative and finite (fast_mag certifies every row
+                    # has degree >= 2, so min2 is finite, and LLR inputs are
+                    # finite), so the cap/clamp ops are dead
                     mag1 = alpha * min1
                     mag2 = alpha * min2
                 else:
@@ -463,10 +469,14 @@ def make_layered_pallas_decoder(
     be_shift = jnp.asarray(np.asarray(graph.be_shift) * R)
     be_shiftb = jnp.asarray(((Z - np.asarray(graph.be_shift)) % Z) * R)
 
+    # the offset-free fast path (mag = alpha*min, no cap) needs every
+    # row degree >= 2 so min2 is finite; degree-1 rows (degenerate but
+    # constructible) take the capped branch like the XLA oracle does
+    min_deg = min((deg for deg, _, _ in groups), default=0)
     kern = functools.partial(
         _kernel, groups=groups, nb=nb, Z=Zp, Bt=batch_tile, R=R, Rp=Rp,
         alpha=alpha, beta=beta, max_iters=max_iters, early_term=early_term,
-        dup_free=dup_free, sign_mode=sign_mode,
+        dup_free=dup_free, sign_mode=sign_mode, fast_mag=min_deg >= 2,
     )
     state_bytes = Zp * per_sublane
     vmem_limit = min(state_bytes + (1 << 23), 120 * 1024 * 1024)

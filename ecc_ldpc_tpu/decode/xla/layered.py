@@ -75,10 +75,15 @@ def decode_layered(
 ) -> DecodeResult:
     """llr: f32 [B, n] -> DecodeResult. One iteration = one full sweep of
     all mb layers. sign_mode='bitxor' selects IEEE signbit sign semantics
-    (matches the Pallas kernel's integer XOR sign accumulation)."""
+    (matches the Pallas kernel's integer XOR sign accumulation). The
+    kernel can only realize bitxor on dup-free graphs (its classic
+    fallback sweep counts negatives), so the oracle applies the same
+    degradation — keeping the bit-exact-twin contract on every graph."""
     B = llr.shape[0]
     Z, nb = graph.Z, graph.nb
     dup_free = graph.intra_layer_dup_free
+    if not dup_free:
+        sign_mode = "count"  # mirror the kernel's bitxor-needs-dup-free rule
     total0 = llr.T.astype(jnp.float32).reshape(nb, Z, B)
     C0 = jnp.zeros((graph.num_block_edges, Z, B), jnp.float32)
     done0 = ~_syndrome_fail(graph, total0)

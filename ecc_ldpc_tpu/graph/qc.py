@@ -112,22 +112,32 @@ class QCGraph:
         return tuple((d, tuple(rows)) for d, rows in groups)
 
 
-def compile_qc_graph(spec: CodeSpec) -> QCGraph:
-    qc: QCCode = spec.qc
-    if qc is None:
-        raise ValueError(f"code {spec.name!r} has no QC structure")
-    br, bc, sh = qc.block_edges()
+def qc_graph_from_block_edges(
+    Z: int, mb: int, nb: int, br, bc, sh, *, k: int, name: str = "qc",
+) -> QCGraph:
+    """Build a QCGraph from explicit (block_row, block_col, shift) triples.
+
+    Unlike compile_qc_graph (whose QCCode base matrix holds one shift per
+    cell), this admits PARALLEL block-edges — multi-edge protographs, where
+    a block-row touches the same block-column through two different
+    circulants. Such graphs have intra_layer_dup_free == False and route
+    both layered tiers onto their accumulate ("classic" 2-roll) paths."""
+    br = np.asarray(br, np.int32)
+    bc = np.asarray(bc, np.int32)
+    sh = np.asarray(sh, np.int32)
     BE = len(br)
-    dcb = np.bincount(br, minlength=qc.mb)
-    dvb = np.bincount(bc, minlength=qc.nb)
+    if np.any(sh < 0) or np.any(sh >= Z):
+        raise ValueError("shifts must lie in [0, Z)")
+    dcb = np.bincount(br, minlength=mb)
+    dvb = np.bincount(bc, minlength=nb)
     dcb_max, dvb_max = int(dcb.max()), int(dvb.max())
 
-    row_be = np.zeros((qc.mb, dcb_max), np.int32)
-    row_mask = np.zeros((qc.mb, dcb_max), bool)
-    col_be = np.zeros((qc.nb, dvb_max), np.int32)
-    col_mask = np.zeros((qc.nb, dvb_max), bool)
-    fr = np.zeros(qc.mb, np.int32)
-    fc = np.zeros(qc.nb, np.int32)
+    row_be = np.zeros((mb, dcb_max), np.int32)
+    row_mask = np.zeros((mb, dcb_max), bool)
+    col_be = np.zeros((nb, dvb_max), np.int32)
+    col_mask = np.zeros((nb, dvb_max), bool)
+    fr = np.zeros(mb, np.int32)
+    fc = np.zeros(nb, np.int32)
     for e in range(BE):
         i, j = br[e], bc[e]
         row_be[i, fr[i]] = e
@@ -138,11 +148,21 @@ def compile_qc_graph(spec: CodeSpec) -> QCGraph:
         fc[j] += 1
 
     return QCGraph(
-        Z=qc.Z, mb=qc.mb, nb=qc.nb, num_block_edges=BE,
-        dcb_max=dcb_max, dvb_max=dvb_max, k=spec.k, name=spec.name,
+        Z=Z, mb=mb, nb=nb, num_block_edges=BE,
+        dcb_max=dcb_max, dvb_max=dvb_max, k=k, name=name,
         be_row_np=tuple(int(x) for x in br),
         be_col_np=tuple(int(x) for x in bc),
         be_shift_np=tuple(int(x) for x in sh),
         be_row=br, be_col=bc, be_shift=sh,
         row_be=row_be, row_mask=row_mask, col_be=col_be, col_mask=col_mask,
+    )
+
+
+def compile_qc_graph(spec: CodeSpec) -> QCGraph:
+    qc: QCCode = spec.qc
+    if qc is None:
+        raise ValueError(f"code {spec.name!r} has no QC structure")
+    br, bc, sh = qc.block_edges()
+    return qc_graph_from_block_edges(
+        qc.Z, qc.mb, qc.nb, br, bc, sh, k=spec.k, name=spec.name,
     )
