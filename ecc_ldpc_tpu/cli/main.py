@@ -119,6 +119,16 @@ def cmd_compare(args) -> int:
 def cmd_codes(args) -> int:
     from ..codes import list_codes
 
+    if args.info:
+        import json
+
+        from ..codes import get_code
+        from ..codes.analyze import analyze, format_info
+
+        for spec_str in args.info:
+            info = analyze(get_code(spec_str), cycles=not args.no_cycles)
+            print(json.dumps(info) if args.json else format_info(info))
+        return 0
     for name in list_codes():
         print(name)
     return 0
@@ -169,7 +179,16 @@ def build_parser() -> argparse.ArgumentParser:
                          "rendezvous when launched one process per host")
     sp.set_defaults(fn=cmd_sweep)
 
-    sp = sub.add_parser("codes", help="list registered code families")
+    sp = sub.add_parser(
+        "codes", help="list registered code families / inspect a code"
+    )
+    sp.add_argument("--info", action="append", default=None,
+                    help="code spec string to analyze (repeatable): degree "
+                         "profiles, 4-cycle census, QC block shape")
+    sp.add_argument("--json", action="store_true",
+                    help="emit --info reports as JSON lines")
+    sp.add_argument("--no-cycles", action="store_true",
+                    help="skip the 4-cycle census (O(sum col_deg^2))")
     sp.set_defaults(fn=cmd_codes)
 
     sp = sub.add_parser(

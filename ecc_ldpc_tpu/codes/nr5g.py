@@ -20,7 +20,11 @@ Rate compatibility (the "rate-compatible" in config 5):
 
 TABLE PROVENANCE (SURVEY.md §7.2 item 4): the 316/197-entry shift tables
 of 38.212 cannot be reproduced from memory; shifts here are deterministic
-SURROGATES on the exact BG skeleton above, QC-girth-repaired at Z_max.
+SURROGATES on the exact BG skeleton above, QC-girth-repaired at Z_max and
+re-optimized per lifting size after reduction (the standard's 8
+per-lifting-set tables solve the same problem): BG1 is 4-cycle-free for
+every Zc >= 22 and BG2 for Zc >= 10; smaller Zc keep the
+pigeonhole-unavoidable residual of dense core rows.
 Degree profiles follow the standard's shape (two very heavy leading info
 columns, dense core rows, sparse extension rows). Validated by the NR
 encoder's G·H^T=0 self-check and waterfall tests.
@@ -119,6 +123,103 @@ def bg_table(bg: str) -> np.ndarray:
     return _BG_CACHE[bg]
 
 
+def _optimize_girth(base: np.ndarray, Zc: int, kb: int,
+                    max_passes: int = 50) -> np.ndarray:
+    """Per-Zc 4-cycle minimization by coordinate descent on info-column
+    shifts (deterministic: argmin over all candidate values, ties keep the
+    current shift). A block 4-cycle (rows i,i2 via cols j,j') lifts iff
+    (s[i,j]-s[i2,j]) == (s[i,j']-s[i2,j']) mod Zc, so per entry the
+    violation count over all candidates is a histogram lookup. The
+    standard solves the same problem with hand-optimized per-lifting-set
+    tables (38.212's 8 iLS sets); zero is reached where achievable —
+    for dense BG1 core rows sharing s columns, pigeonhole forces at least
+    sum-of-collisions(s, Zc) cycles per row pair, so tiny Zc keep an
+    (unavoidable, standard-matching) residual."""
+    from .ieee80211n import _block_4cycle_violations
+
+    base = base.copy()
+    mb, nb = base.shape
+
+    # modifiable shifts: info columns everywhere, plus EXTENSION-row
+    # entries at the core-parity columns kb..kb+3 (the builder gives those
+    # random shifts; only the 4-row dual-diagonal block and the extension
+    # identity diagonal are structural, i.e. load-bearing for the encoder)
+    def free(i, j):
+        return j < kb or (i >= 4 and kb <= j < kb + 4)
+
+    entries = [(i, j) for i in range(mb) for j in range(kb + 4)
+               if base[i, j] >= 0 and free(i, j)]
+    rows_of_col = {j: np.flatnonzero(base[:, j] >= 0) for j in range(nb)}
+
+    def descend(b, order_rng=None):
+        for _ in range(max_passes):
+            changed = False
+            sweep = entries
+            if order_rng is not None:
+                sweep = [entries[t] for t in order_rng.permutation(len(entries))]
+            for i, j in sweep:
+                cost = np.zeros(Zc, np.int64)
+                for i2 in rows_of_col[j]:
+                    if i2 == i:
+                        continue
+                    shared = np.flatnonzero((b[i] >= 0) & (b[i2] >= 0))
+                    shared = shared[shared != j]
+                    if len(shared) == 0:
+                        continue
+                    deltas = (b[i, shared] - b[i2, shared]) % Zc
+                    hist = np.bincount(deltas, minlength=Zc)
+                    # candidate v's delta is (v - s[i2,j]) % Zc: roll hist
+                    cost += np.roll(hist, int(b[i2, j]))
+                best = int(np.argmin(cost))
+                if cost[best] < cost[int(b[i, j])]:
+                    b[i, j] = best
+                    changed = True
+            if not changed:
+                return
+
+    rng = np.random.default_rng(Zc * 101 + kb)
+    descend(base)
+    best = base.copy()
+    best_v = len(_block_4cycle_violations(best, Zc))
+    # random-restart kicks out of local minima (only worthwhile when the
+    # residual is small enough that zero is plausibly reachable): perturb
+    # every info-column entry of one violating cycle, then re-descend in a
+    # shuffled coordinate order
+    for _ in range(24 if 0 < best_v <= 8 else 0):
+        b = best.copy()
+        viols = _block_4cycle_violations(b, Zc)
+        i1, i2, j1, j2 = viols[int(rng.integers(len(viols)))]
+        touched = False
+        for i, j in ((i1, j1), (i2, j1), (i1, j2), (i2, j2)):
+            if free(i, int(j)):
+                b[i, j] = rng.integers(0, Zc)
+                touched = True
+        if not touched:
+            break
+        descend(b, order_rng=rng)
+        v = len(_block_4cycle_violations(b, Zc))
+        if v < best_v:
+            best, best_v = b.copy(), v
+            if v == 0:
+                break
+    return best
+
+
+_REDUCED_CACHE: dict = {}
+
+
+def reduced_bg_table(bg: str, Zc: int) -> np.ndarray:
+    """bg_table reduced mod Zc, then girth-optimized AT that Zc (reduction
+    alone reintroduces 4-cycles the Z_max repair had removed)."""
+    key = (bg, Zc)
+    if key not in _REDUCED_CACHE:
+        base = bg_table(bg).copy()
+        nz = base >= 0
+        base[nz] = base[nz] % Zc
+        _REDUCED_CACHE[key] = _optimize_girth(base, Zc, _BG[bg]["kb"])
+    return _REDUCED_CACHE[key].copy()
+
+
 def nr5g(
     bg: str, Zc: int, k: int | None = None, n_tx: int | None = None
 ) -> CodeSpec:
@@ -135,9 +236,7 @@ def nr5g(
         raise ValueError(f"Zc={Zc} not a standard lifting size")
     cfg = _BG[bg]
     kb, mb = cfg["kb"], cfg["mb"]
-    base = bg_table(bg).copy()
-    nz = base >= 0
-    base[nz] = base[nz] % Zc
+    base = reduced_bg_table(bg, Zc)
 
     n = (kb + mb) * Zc
     k_full = kb * Zc
