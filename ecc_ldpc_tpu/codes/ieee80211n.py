@@ -63,20 +63,8 @@ def _scale_table(base: np.ndarray, z_from: int, z_to: int) -> np.ndarray:
     return out
 
 
-def _block_4cycle_violations(base: np.ndarray, Z: int):
-    """QC 4-cycles: rows i1<i2 sharing cols j1<j2 with
-    s[i1,j1]-s[i1,j2]+s[i2,j2]-s[i2,j1] == 0 (mod Z)."""
-    mb, nb = base.shape
-    viol = []
-    for i1 in range(mb):
-        for i2 in range(i1 + 1, mb):
-            shared = np.flatnonzero((base[i1] >= 0) & (base[i2] >= 0))
-            for a in range(len(shared)):
-                for b in range(a + 1, len(shared)):
-                    j1, j2 = shared[a], shared[b]
-                    if (base[i1, j1] - base[i1, j2] + base[i2, j2] - base[i2, j1]) % Z == 0:
-                        viol.append((i1, i2, j1, j2))
-    return viol
+# canonical home is codes/girth.py; re-exported for existing importers
+from .girth import block_4cycle_violations as _block_4cycle_violations  # noqa: E402
 
 
 def surrogate_base(mb: int, nb: int, Z: int, seed: int, heavy_cols: int = 2,
@@ -132,6 +120,16 @@ def surrogate_base(mb: int, nb: int, Z: int, seed: int, heavy_cols: int = 2,
                             fixed = False
             if fixed:
                 break
+    # the greedy loops above can stall (and the chain pass can undo 4-cycle
+    # fixes); finish with the coordinate-descent optimizer, which respects
+    # the chain rule as a hard constraint and is a no-op on a clean table
+    from .girth import block_4cycle_violations, optimize_shifts
+
+    if block_4cycle_violations(base, Z):
+        base = optimize_shifts(
+            base, Z, free=lambda i, j: j < kb, seed=seed + 7_777,
+            chain_dist=8, chain_ncols=kb,
+        )
     return base
 
 

@@ -123,86 +123,25 @@ def bg_table(bg: str) -> np.ndarray:
     return _BG_CACHE[bg]
 
 
-def _optimize_girth(base: np.ndarray, Zc: int, kb: int,
-                    max_passes: int = 50) -> np.ndarray:
-    """Per-Zc 4-cycle minimization by coordinate descent on info-column
-    shifts (deterministic: argmin over all candidate values, ties keep the
-    current shift). A block 4-cycle (rows i,i2 via cols j,j') lifts iff
-    (s[i,j]-s[i2,j]) == (s[i,j']-s[i2,j']) mod Zc, so per entry the
-    violation count over all candidates is a histogram lookup. The
-    standard solves the same problem with hand-optimized per-lifting-set
-    tables (38.212's 8 iLS sets); zero is reached where achievable —
+def _optimize_girth(base: np.ndarray, Zc: int, kb: int) -> np.ndarray:
+    """Per-Zc 4-cycle minimization (codes/girth.py coordinate descent).
+    The standard solves the same problem with hand-optimized per-lifting-
+    set tables (38.212's 8 iLS sets); zero is reached where achievable —
     for dense BG1 core rows sharing s columns, pigeonhole forces at least
     sum-of-collisions(s, Zc) cycles per row pair, so tiny Zc keep an
-    (unavoidable, standard-matching) residual."""
-    from .ieee80211n import _block_4cycle_violations
+    (unavoidable, standard-matching) residual.
 
-    base = base.copy()
-    mb, nb = base.shape
+    Modifiable shifts: info columns everywhere, plus EXTENSION-row entries
+    at the core-parity columns kb..kb+3 (the builder gives those random
+    shifts; only the 4-row dual-diagonal block and the extension identity
+    diagonal are structural, i.e. load-bearing for the encoder)."""
+    from .girth import optimize_shifts
 
-    # modifiable shifts: info columns everywhere, plus EXTENSION-row
-    # entries at the core-parity columns kb..kb+3 (the builder gives those
-    # random shifts; only the 4-row dual-diagonal block and the extension
-    # identity diagonal are structural, i.e. load-bearing for the encoder)
-    def free(i, j):
-        return j < kb or (i >= 4 and kb <= j < kb + 4)
-
-    entries = [(i, j) for i in range(mb) for j in range(kb + 4)
-               if base[i, j] >= 0 and free(i, j)]
-    rows_of_col = {j: np.flatnonzero(base[:, j] >= 0) for j in range(nb)}
-
-    def descend(b, order_rng=None):
-        for _ in range(max_passes):
-            changed = False
-            sweep = entries
-            if order_rng is not None:
-                sweep = [entries[t] for t in order_rng.permutation(len(entries))]
-            for i, j in sweep:
-                cost = np.zeros(Zc, np.int64)
-                for i2 in rows_of_col[j]:
-                    if i2 == i:
-                        continue
-                    shared = np.flatnonzero((b[i] >= 0) & (b[i2] >= 0))
-                    shared = shared[shared != j]
-                    if len(shared) == 0:
-                        continue
-                    deltas = (b[i, shared] - b[i2, shared]) % Zc
-                    hist = np.bincount(deltas, minlength=Zc)
-                    # candidate v's delta is (v - s[i2,j]) % Zc: roll hist
-                    cost += np.roll(hist, int(b[i2, j]))
-                best = int(np.argmin(cost))
-                if cost[best] < cost[int(b[i, j])]:
-                    b[i, j] = best
-                    changed = True
-            if not changed:
-                return
-
-    rng = np.random.default_rng(Zc * 101 + kb)
-    descend(base)
-    best = base.copy()
-    best_v = len(_block_4cycle_violations(best, Zc))
-    # random-restart kicks out of local minima (only worthwhile when the
-    # residual is small enough that zero is plausibly reachable): perturb
-    # every info-column entry of one violating cycle, then re-descend in a
-    # shuffled coordinate order
-    for _ in range(24 if 0 < best_v <= 8 else 0):
-        b = best.copy()
-        viols = _block_4cycle_violations(b, Zc)
-        i1, i2, j1, j2 = viols[int(rng.integers(len(viols)))]
-        touched = False
-        for i, j in ((i1, j1), (i2, j1), (i1, j2), (i2, j2)):
-            if free(i, int(j)):
-                b[i, j] = rng.integers(0, Zc)
-                touched = True
-        if not touched:
-            break
-        descend(b, order_rng=rng)
-        v = len(_block_4cycle_violations(b, Zc))
-        if v < best_v:
-            best, best_v = b.copy(), v
-            if v == 0:
-                break
-    return best
+    return optimize_shifts(
+        base, Zc,
+        free=lambda i, j: j < kb or (i >= 4 and kb <= j < kb + 4),
+        seed=Zc * 101 + kb,
+    )
 
 
 _REDUCED_CACHE: dict = {}

@@ -66,5 +66,17 @@ def wimax(n: int, rate: str) -> CodeSpec:
     base[0, kb] = 1
     base[mb // 2, kb] = 0
     base[mb - 1, kb] = 1
+    # scaling to smaller Z reintroduces lifted 4-cycles and equal-shift
+    # chain conflicts the Z0-level repair had removed — re-optimize AT the
+    # target Z (no-op for clean tables, e.g. Z = Z0)
+    from .girth import block_4cycle_violations, chain_conflicts, optimize_shifts
+
+    if (block_4cycle_violations(base, Z)
+            or chain_conflicts(base, kb, 8)):
+        base = optimize_shifts(
+            base, Z, free=lambda i, j: j < kb,
+            seed=32_000 + mb * 13 + Z * 7 + len(rate),
+            chain_dist=8, chain_ncols=kb,
+        )
     qc = QCCode(Z=Z, base=base)
     return expand_qc(qc, name=f"wimax.{n}.{rate}.surrogate", k=kb * Z)

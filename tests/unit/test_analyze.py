@@ -43,6 +43,32 @@ def test_nr5g_girth_repaired_per_lifting_size():
         assert info["four_cycles"] == 0, (spec_str, info["four_cycles"])
 
 
+def test_qc_families_girth_and_chain_clean():
+    """Every 802.11n/WiMAX config is 4-cycle-free, and surrogate tables
+    also respect the chain rule (no equal shifts within row distance 8 in
+    an info column — they close short cycles through the shift-0
+    staircase). Z-scaling must not silently undo either property."""
+    import numpy as np
+
+    from ecc_ldpc_tpu.codes.girth import chain_conflicts
+
+    specs = (
+        [f"80211n/{n}/{r}" for n in (648, 1296, 1944)
+         for r in ("12", "23", "34", "56")]
+        + [f"wimax/{n}/{r}" for n in (576, 1152, 2304)
+           for r in ("12", "23A", "34B", "56")]
+    )
+    for s in specs:
+        spec = get_code(s)
+        info = analyze(spec)
+        assert info["four_cycles"] == 0, (s, info["four_cycles"])
+        if "surrogate" in spec.name:
+            qc = spec.qc
+            kb = qc.nb - qc.base.shape[0]
+            cc = chain_conflicts(np.asarray(qc.base), kb, 8)
+            assert not cc, (s, cc)
+
+
 def test_analyze_qc_block_shape():
     info = analyze(get_code("80211n/648/12"), cycles=False)
     q = info["qc"]
