@@ -60,6 +60,12 @@ def analyze(spec: CodeSpec, *, cycles: bool = True) -> dict:
             "nb": int(qc.nb),
             "block_edges": int(np.count_nonzero(np.asarray(qc.base) >= 0)),
         }
+    punct = getattr(spec, "punctured_cols", None) or ()
+    short = getattr(spec, "shortened_cols", None) or ()
+    if punct or short:
+        info["punctured_bits"] = len(punct)
+        info["shortened_bits"] = len(short)
+        info["tx_rate"] = round(spec.k / (spec.n - len(punct) - len(short)), 6)
     if cycles:
         c4 = count_4cycles(spec)
         info["four_cycles"] = c4
@@ -84,6 +90,11 @@ def format_info(info: dict) -> str:
         lines.append(
             f"QC          Z={q['Z']}  base {q['mb']}x{q['nb']}  "
             f"{q['block_edges']} block-edges"
+        )
+    if "punctured_bits" in info:
+        lines.append(
+            f"rate-match  {info['punctured_bits']} punctured, "
+            f"{info['shortened_bits']} shortened -> tx rate {info['tx_rate']}"
         )
     if "four_cycles" in info:
         lines.append(
