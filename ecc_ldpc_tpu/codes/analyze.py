@@ -65,7 +65,7 @@ def analyze(spec: CodeSpec, *, cycles: bool = True) -> dict:
     if punct or short:
         info["punctured_bits"] = len(punct)
         info["shortened_bits"] = len(short)
-        info["tx_rate"] = round(spec.k / (spec.n - len(punct) - len(short)), 6)
+        info["tx_rate"] = round(spec.rate, 6)
     if cycles:
         c4 = count_4cycles(spec)
         info["four_cycles"] = c4

@@ -123,9 +123,9 @@ def surrogate_base(mb: int, nb: int, Z: int, seed: int, heavy_cols: int = 2,
     # the greedy loops above can stall (and the chain pass can undo 4-cycle
     # fixes); finish with the coordinate-descent optimizer, which respects
     # the chain rule as a hard constraint and is a no-op on a clean table
-    from .girth import block_4cycle_violations, optimize_shifts
+    from .girth import block_4cycle_violations, chain_conflicts, optimize_shifts
 
-    if block_4cycle_violations(base, Z):
+    if block_4cycle_violations(base, Z) or chain_conflicts(base, kb, 8):
         base = optimize_shifts(
             base, Z, free=lambda i, j: j < kb, seed=seed + 7_777,
             chain_dist=8, chain_ncols=kb,

@@ -128,6 +128,12 @@ def qc_graph_from_block_edges(
     BE = len(br)
     if np.any(sh < 0) or np.any(sh >= Z):
         raise ValueError("shifts must lie in [0, Z)")
+    if len(bc) != BE or len(sh) != BE:
+        raise ValueError("br, bc, sh must have equal length")
+    if BE and (br.min() < 0 or br.max() >= mb):
+        raise ValueError(f"block rows must lie in [0, {mb})")
+    if BE and (bc.min() < 0 or bc.max() >= nb):
+        raise ValueError(f"block cols must lie in [0, {nb})")
     dcb = np.bincount(br, minlength=mb)
     dvb = np.bincount(bc, minlength=nb)
     dcb_max, dvb_max = int(dcb.max()), int(dvb.max())

@@ -76,8 +76,9 @@ def test_dup_graph_bitxor_degrades_identically(dup_graph):
 def test_deg1_graph_kernel_matches_oracle(deg1_graph, early_term):
     """alpha-scaled offset-free min-sum on a degree-1-row graph: the
     magnitude at the lone edge is cap(min2)=cap(inf), which the fast path
-    would turn into inf*alpha. The fast_mag gate must keep the tiers
-    bit-exact and the posteriors finite."""
+    would turn into inf*alpha and corrupt the posteriors (visible as bit
+    divergence from the capped oracle). The fast_mag gate must keep the
+    tiers bit-exact."""
     llr = _rand_llr(32, deg1_graph.n, seed=6)
     a = make_layered_decoder(deg1_graph, alpha=0.8125, max_iters=8,
                              early_term=early_term)(llr)
@@ -86,4 +87,3 @@ def test_deg1_graph_kernel_matches_oracle(deg1_graph, early_term):
     assert np.array_equal(np.asarray(a.bits), np.asarray(b.bits))
     assert np.array_equal(np.asarray(a.ok), np.asarray(b.ok))
     assert np.array_equal(np.asarray(a.iterations), np.asarray(b.iterations))
-    assert np.all(np.isfinite(np.asarray(a.bits, np.float32)))
