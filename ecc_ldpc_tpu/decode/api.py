@@ -145,22 +145,23 @@ def make_decoder(
     if backend != "xla":
         raise KeyError(f"unknown backend {backend!r}")
 
-    if kind == "minsum" and isinstance(graph, QCGraph):
-        # roll-form flooding twin (same algorithm, QC layout)
+    if kind in ("minsum", "spa", "minstar") and isinstance(graph, QCGraph):
+        # roll-form flooding (QC layout): minsum is the Pallas kernel's
+        # oracle twin; spa/minstar are the exact-BP forms, and the roll
+        # layout makes them TPU-safe (no gathers) unlike the expanded tier
         from .xla.flooding_qc import decode_flooding_qc
 
         def decode_qc(llr):
             return decode_flooding_qc(
-                graph, llr, alpha=alpha, beta=beta, max_iters=max_iters,
-                early_term=early_term,
+                graph, llr, kind=kind, alpha=alpha, beta=beta,
+                max_iters=max_iters, early_term=early_term,
             )
 
         return jax.jit(decode_qc) if jit else decode_qc
-    if isinstance(graph, QCGraph) and kind not in ("layered", "minsum"):
-        raise TypeError(
-            f"{kind!r} on a QCGraph is not supported — use kind='minsum' or "
-            f"'layered', or compile the code with graph.compile_graph for "
-            f"the expanded-graph decoders"
+    if isinstance(graph, QCGraph) and kind != "layered":
+        raise KeyError(
+            f"unknown decoder kind {kind!r} for a QCGraph — one of "
+            f"'minsum', 'spa', 'minstar', 'layered'"
         )
     if kind == "spa":
         cn_op = cn_spa

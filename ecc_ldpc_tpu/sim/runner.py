@@ -122,16 +122,27 @@ class Pipeline:
         return _ldpc_pipeline(spec)
 
 
-def _ldpc_pipeline(spec: SweepSpec) -> Pipeline:
+def _graph_for(code, decoder_spec: str):
+    """QC codes decode through the QC block view for every kind the roll
+    tiers serve (layered REQUIRES it; minsum/spa/minstar are TPU-safe only
+    there — the expanded gather form crashes the platform's TPU compiler,
+    see decode/xla/dense_mm.py). Non-QC codes use the expanded graph."""
     from ..decode.api import parse_decoder_spec
-    from ..encode.structured import build_encoder
     from ..graph.qc import compile_qc_graph
 
+    kind = parse_decoder_spec(decoder_spec)["kind"]
+    if code.qc is not None and kind in ("layered", "minsum", "spa", "minstar"):
+        return compile_qc_graph(code)
+    if kind == "layered":
+        return compile_qc_graph(code)  # raises with a clear no-QC message
+    return compile_graph(code)
+
+
+def _ldpc_pipeline(spec: SweepSpec) -> Pipeline:
+    from ..encode.structured import build_encoder
+
     code = get_code(spec.code)
-    if parse_decoder_spec(spec.decoder)["kind"] == "layered":
-        graph = compile_qc_graph(code)  # layered needs the QC block view
-    else:
-        graph = compile_graph(code)
+    graph = _graph_for(code, spec.decoder)
     enc = build_encoder(code)
     overrides = {"backend": spec.backend} if spec.backend else {}
     dec = get_decoder(graph, spec.decoder, jit=False, **overrides)
@@ -278,16 +289,11 @@ def run_sweep_sharded(
     Counters are bit-identical to run_sweep-with-the-same-frame-count on
     any mesh shape (per-frame PRNG keyed on global indices; tests/dist/).
     """
-    from ..decode.api import parse_decoder_spec
     from ..dist.montecarlo import make_sharded_step
     from ..encode.structured import build_encoder
-    from ..graph.qc import compile_qc_graph
 
     code = get_code(spec.code)
-    if parse_decoder_spec(spec.decoder)["kind"] == "layered":
-        graph = compile_qc_graph(code)
-    else:
-        graph = compile_graph(code)
+    graph = _graph_for(code, spec.decoder)
     enc = build_encoder(code)
     overrides = {"backend": spec.backend} if spec.backend else {}
     dec = get_decoder(graph, spec.decoder, jit=False, **overrides)
