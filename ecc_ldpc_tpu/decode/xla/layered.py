@@ -67,8 +67,8 @@ def decode_layered(
     graph: QCGraph,
     llr: jax.Array,
     *,
-    alpha: float = 1.0,
-    beta: float = 0.0,
+    alpha=1.0,
+    beta=0.0,
     max_iters: int = 25,
     early_term: bool = True,
     sign_mode: str = "bitxor",
@@ -78,18 +78,24 @@ def decode_layered(
     (matches the Pallas kernel's integer XOR sign accumulation). The
     kernel can only realize bitxor on dup-free graphs (its classic
     fallback sweep counts negatives), so the oracle applies the same
-    degradation — keeping the bit-exact-twin contract on every graph."""
+    degradation — keeping the bit-exact-twin contract on every graph.
+
+    alpha/beta may be scalars or per-iteration arrays of length
+    max_iters (learned NOMS schedules, see learn/noms.py); iteration t
+    uses alpha[t], beta[t]."""
     B = llr.shape[0]
     Z, nb = graph.Z, graph.nb
     dup_free = graph.intra_layer_dup_free
     if not dup_free:
         sign_mode = "count"  # mirror the kernel's bitxor-needs-dup-free rule
+    alphas = jnp.broadcast_to(jnp.asarray(alpha, jnp.float32), (max_iters,))
+    betas = jnp.broadcast_to(jnp.asarray(beta, jnp.float32), (max_iters,))
     total0 = llr.T.astype(jnp.float32).reshape(nb, Z, B)
     C0 = jnp.zeros((graph.num_block_edges, Z, B), jnp.float32)
     done0 = ~_syndrome_fail(graph, total0)
     iters0 = (total0[0, 0] * 0).astype(jnp.int32)  # varying-axes-safe zero
 
-    def sweep(total, C):
+    def sweep(total, C, alpha, beta):
         """One layered iteration. Also accumulates the ON-THE-FLY syndrome:
         each layer's parity evaluated on the posteriors as that layer is
         processed (the standard hardware early-termination criterion —
@@ -129,30 +135,30 @@ def decode_layered(
         return total, C, fail > 0.5
 
     def body(state):
-        total, C, done, iters = state
-        new_total, newC, fail = sweep(total, C)
+        total, C, done, iters, t = state
+        new_total, newC, fail = sweep(total, C, alphas[t], betas[t])
         keep = done[None, None, :]  # [1,1,B] broadcasts over both states
         total = jnp.where(keep, total, new_total)
         C = jnp.where(keep, C, newC)
         iters = jnp.where(done, iters, iters + 1)
         done = done | ~fail
-        return total, C, done, iters
+        return total, C, done, iters, t + 1
 
     if early_term:
-        state = (total0, C0, done0, iters0)
+        state = (total0, C0, done0, iters0, jnp.zeros((), jnp.int32))
 
         def cond(state):
-            _, _, done, iters = state
-            return (iters.max() < max_iters) & ~jnp.all(done)
+            _, _, done, _, t = state
+            return (t < max_iters) & ~jnp.all(done)
 
-        total, _, done, iters = jax.lax.while_loop(cond, body, state)
+        total, _, done, iters, _ = jax.lax.while_loop(cond, body, state)
     else:
         # pure fixed-iteration mode (the benchmark configuration): no
         # freeze, no per-iteration syndrome — literally max_iters sweeps.
         # The Pallas twin implements the same.
-        def pure_body(_, st):
+        def pure_body(t, st):
             total, C = st
-            total, C, _ = sweep(total, C)
+            total, C, _ = sweep(total, C, alphas[t], betas[t])
             return total, C
 
         total, _ = jax.lax.fori_loop(0, max_iters, pure_body, (total0, C0))
@@ -167,8 +173,8 @@ def decode_layered(
 def make_layered_decoder(
     graph,
     *,
-    alpha: float = 1.0,
-    beta: float = 0.0,
+    alpha=1.0,   # scalar or per-iteration [max_iters] array
+    beta=0.0,    # scalar or per-iteration [max_iters] array
     max_iters: int = 25,
     early_term: bool = True,
     jit: bool = True,
