@@ -19,7 +19,6 @@ import functools
 from typing import Callable
 
 import jax
-import numpy as np
 
 from ..graph.compile import CompiledGraph
 from .types import DecodeResult
@@ -51,12 +50,6 @@ def make_decoder(
                 raise TypeError(
                     "layered decoding needs a QCGraph (compile with "
                     "graph.qc.compile_qc_graph on a QC code spec)"
-                )
-            if not (np.isscalar(alpha) and np.isscalar(beta)):
-                raise TypeError(
-                    "the Pallas layered kernel bakes scalar alpha/beta at "
-                    "compile time; per-iteration (learned) schedules run on "
-                    "backend='xla' (decode/xla/layered.py)"
                 )
             msg_dtype = (
                 jnp.float32

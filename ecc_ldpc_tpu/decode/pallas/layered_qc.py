@@ -149,8 +149,12 @@ def _kernel(
     vrow_s,        # f32 [dcb, Zp, Bt]
     *, groups: tuple, nb: int, Z: int, Bt: int, R: int, Rp: int,
     alpha: float, beta: float, max_iters: int, early_term: bool,
-    dup_free: bool, sign_mode: str, fast_mag: bool = True,
+    dup_free: bool, sign_mode: str, fast_mag: bool = True, ab_ref=None,
 ):
+    # ab_ref: optional SMEM f32 [2, max_iters] per-iteration (alpha_t,
+    # beta_t) schedule (learned NOMS, learn/noms.py). When present the
+    # magnitude always takes the capped branch (matching the XLA oracle's
+    # unconditional form), read per sweep; the scalar path is untouched.
     bitxor = sign_mode == "bitxor" and dup_free
     total_s[:] = llr_ref[:].astype(jnp.float32)
     C_s[:] = jnp.zeros_like(C_s)
@@ -188,9 +192,11 @@ def _kernel(
             return c
         jax.lax.fori_loop(0, nb, rot, 0)
 
-    def sweep_delta(frozen, track):
+    def sweep_delta(frozen, track, t=0):
         """One layered iteration, alignment-carrying form (1 roll/edge).
         Returns on-the-fly fail [1, Bt] (meaningful when track=True)."""
+        a_s = alpha if ab_ref is None else ab_ref[0, t]
+        b_s = beta if ab_ref is None else ab_ref[1, t]
         keep = (frozen > 0.5) if track else None
         fail = jnp.zeros((Z, Bt), jnp.float32)
         for deg, nrows, off in groups:
@@ -236,7 +242,7 @@ def _kernel(
                 else:
                     par = negcnt - 2.0 * jnp.floor(negcnt * 0.5)
                     sgn_prod = 1.0 - 2.0 * par
-                if beta == 0.0 and fast_mag and not track:
+                if ab_ref is None and beta == 0.0 and fast_mag and not track:
                     # offset-free fixed-iteration path: alpha*min is already
                     # non-negative and finite (fast_mag certifies every row
                     # has degree >= 2, so min2 is finite, and LLR inputs are
@@ -245,10 +251,10 @@ def _kernel(
                     mag2 = alpha * min2
                 else:
                     mag1 = jnp.maximum(
-                        alpha * jnp.minimum(min1, _MAG_CAP) - beta, 0.0
+                        a_s * jnp.minimum(min1, _MAG_CAP) - b_s, 0.0
                     )
                     mag2 = jnp.maximum(
-                        alpha * jnp.minimum(min2, _MAG_CAP) - beta, 0.0
+                        a_s * jnp.minimum(min2, _MAG_CAP) - b_s, 0.0
                     )
 
                 # pass 2: emit messages; posterior written back IN THIS
@@ -300,10 +306,12 @@ def _kernel(
             fail = jax.lax.fori_loop(0, nrows, layer, fail)
         return replica_max(fail)
 
-    def sweep_classic(frozen, track):
+    def sweep_classic(frozen, track, t=0):
         """One layered iteration, 2-roll delta-add form (fallback for
         graphs with intra-layer duplicate columns: posterior updates for
         duplicates must ACCUMULATE)."""
+        a_s = alpha if ab_ref is None else ab_ref[0, t]
+        b_s = beta if ab_ref is None else ab_ref[1, t]
         keep = (frozen > 0.5) if track else None
         fail = jnp.zeros((Z, Bt), jnp.float32)
         for deg, nrows, off in groups:
@@ -329,8 +337,8 @@ def _kernel(
                     fail = jnp.maximum(fail, hpar)
                 par = negcnt - 2.0 * jnp.floor(negcnt * 0.5)
                 sgn_prod = 1.0 - 2.0 * par
-                mag1 = jnp.maximum(alpha * jnp.minimum(min1, _MAG_CAP) - beta, 0.0)
-                mag2 = jnp.maximum(alpha * jnp.minimum(min2, _MAG_CAP) - beta, 0.0)
+                mag1 = jnp.maximum(a_s * jnp.minimum(min1, _MAG_CAP) - b_s, 0.0)
+                mag2 = jnp.maximum(a_s * jnp.minimum(min2, _MAG_CAP) - b_s, 0.0)
 
                 for si in range(deg):
                     e = ge_be_ref[base + si]
@@ -362,7 +370,7 @@ def _kernel(
 
         def body(carry):
             done, iters, it = carry
-            fail = sweep(done, True)
+            fail = sweep(done, True, it)
             iters = iters + (1.0 - done)
             done = jnp.maximum(done, 1.0 - fail)
             return done, iters, it + 1
@@ -379,7 +387,7 @@ def _kernel(
         if dup_free:
             rotate(col_pre_ref)
         jax.lax.fori_loop(
-            0, max_iters, lambda _, c: (sweep(None, False), c)[1], 0
+            0, max_iters, lambda t, c: (sweep(None, False, t), c)[1], 0
         )
         iters = jnp.full((Z, Bt), float(max_iters), jnp.float32)
 
@@ -396,8 +404,8 @@ def _kernel(
 def make_layered_pallas_decoder(
     graph: QCGraph,
     *,
-    alpha: float = 1.0,
-    beta: float = 0.0,
+    alpha=1.0,   # scalar or per-iteration [max_iters] array (NOMS)
+    beta=0.0,    # scalar or per-iteration [max_iters] array
     max_iters: int = 25,
     early_term: bool = True,
     jit: bool = True,
@@ -473,11 +481,24 @@ def make_layered_pallas_decoder(
     # row degree >= 2 so min2 is finite; degree-1 rows (degenerate but
     # constructible) take the capped branch like the XLA oracle does
     min_deg = min((deg for deg, _, _ in groups), default=0)
-    kern = functools.partial(
-        _kernel, groups=groups, nb=nb, Z=Zp, Bt=batch_tile, R=R, Rp=Rp,
+    per_iter = not (np.isscalar(alpha) and np.isscalar(beta))
+    if per_iter:
+        ab = jnp.stack([
+            jnp.broadcast_to(jnp.asarray(alpha, jnp.float32), (max_iters,)),
+            jnp.broadcast_to(jnp.asarray(beta, jnp.float32), (max_iters,)),
+        ])
+        alpha, beta = 0.0, 0.0  # unused; a_s/b_s come from the SMEM schedule
+    kern_kw = dict(
+        groups=groups, nb=nb, Z=Zp, Bt=batch_tile, R=R, Rp=Rp,
         alpha=alpha, beta=beta, max_iters=max_iters, early_term=early_term,
         dup_free=dup_free, sign_mode=sign_mode, fast_mag=min_deg >= 2,
     )
+    if per_iter:
+        def kern(ge, bc, bs, bsb, gd, cp, cpo, ab_r, *rest):
+            return _kernel(ge, bc, bs, bsb, gd, cp, cpo, *rest,
+                           ab_ref=ab_r, **kern_kw)
+    else:
+        kern = functools.partial(_kernel, **kern_kw)
     state_bytes = Zp * per_sublane
     vmem_limit = min(state_bytes + (1 << 23), 120 * 1024 * 1024)
 
@@ -501,7 +522,7 @@ def make_layered_pallas_decoder(
         # DVB-S2 scale), blowing the VMEM cap. Sequential chunks have
         # identical throughput (the grid was sequential anyway).
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=7,
+            num_scalar_prefetch=8 if per_iter else 7,
             grid=(1,),
             in_specs=[
                 pl.BlockSpec((nb, Zp, batch_tile), lambda b, *_: (0, 0, b),
@@ -535,7 +556,7 @@ def make_layered_pallas_decoder(
             ),
             interpret=itp,
         )(ge_be, be_col, be_shift, be_shiftb, ge_delta, col_pre, col_post,
-          llr_chunk)
+          *((ab,) if per_iter else ()), llr_chunk)
 
         bits, ok8, iters8 = one_chunk(llr3)
         # unpack: sublane z*R + r of lane b is bit blk*Z + z of codeword

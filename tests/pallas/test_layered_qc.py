@@ -101,6 +101,37 @@ def test_sign_modes_match_oracle(z16_code, sign_mode):
     assert np.array_equal(np.asarray(a.iterations), np.asarray(b.iterations))
 
 
+@pytest.mark.parametrize("early_term", [True, False])
+def test_per_iteration_schedule_matches_oracle(z16_code, early_term):
+    """Learned NOMS schedules: per-iteration alpha_t/beta_t arrays flow
+    through the kernel via SMEM and must stay bit-exact with the oracle
+    (both take the capped magnitude branch)."""
+    spec, qg, enc = z16_code
+    cw, llr = _tx(spec, enc, 32, 3.0, seed=13)
+    T = 8
+    key = jax.random.key(2)
+    alphas = jax.random.uniform(key, (T,), minval=0.6, maxval=1.1)
+    betas = jax.random.uniform(jax.random.fold_in(key, 1), (T,),
+                               minval=0.0, maxval=0.25)
+    a = make_layered_decoder(qg, alpha=alphas, beta=betas, max_iters=T,
+                             early_term=early_term)(llr)
+    b = make_layered_pallas_decoder(qg, alpha=alphas, beta=betas,
+                                    max_iters=T, early_term=early_term,
+                                    batch_tile=32)(llr)
+    assert np.array_equal(np.asarray(a.bits), np.asarray(b.bits))
+    assert np.array_equal(np.asarray(a.ok), np.asarray(b.ok))
+    assert np.array_equal(np.asarray(a.iterations), np.asarray(b.iterations))
+    # and the schedule is actually in effect: constant-(alpha,beta) arrays
+    # reproduce the scalar decoder exactly
+    c = make_layered_pallas_decoder(qg, alpha=jnp.full((T,), 0.8125),
+                                    beta=jnp.zeros((T,)), max_iters=T,
+                                    early_term=early_term,
+                                    batch_tile=32)(llr)
+    d = make_layered_decoder(qg, alpha=0.8125, max_iters=T,
+                             early_term=early_term)(llr)
+    assert np.array_equal(np.asarray(c.bits), np.asarray(d.bits))
+
+
 def test_supports_gate(z16_code):
     spec, qg, enc = z16_code
     assert supports(qg)
