@@ -60,28 +60,39 @@ def _cn_minsum_soft(V, alpha, beta):
     return (sgn_prod * sv) * mag
 
 
-def unrolled_posteriors(graph: QCGraph, llr, alphas, betas):
+def unrolled_posteriors(graph: QCGraph, llr, alphas, betas,
+                        *, remat: bool = True):
     """Differentiable unrolled layered decode: llr [B, n] -> posteriors
     [T, B, n] (iteration t's post-sweep totals). Mirrors
-    decode/xla/layered.py's dup-free sweep with sign_mode='count'."""
+    decode/xla/layered.py's dup-free sweep with sign_mode='count'.
+
+    Iterations run under lax.scan with jax.checkpoint (remat=True): the
+    backward pass stores only per-iteration boundary state and recomputes
+    layer internals — what makes training through 25 iterations of
+    n=64800 fit in HBM, and keeps the lowered module one-iteration-sized."""
     B = llr.shape[0]
     Z, nb = graph.Z, graph.nb
-    T = len(alphas)
-    total = llr.T.astype(jnp.float32).reshape(nb, Z, B)
-    C = {e: jnp.zeros((Z, B), jnp.float32)
-         for e in range(graph.num_block_edges)}
-    outs = []
-    for t in range(T):
+    total0 = llr.T.astype(jnp.float32).reshape(nb, Z, B)
+    C0 = jnp.zeros((graph.num_block_edges, Z, B), jnp.float32)
+
+    def one_iter(carry, ab_t):
+        total, C = carry
+        a_t, b_t = ab_t
         for i in graph.layer_order:
             edges = graph.layer_edges(i)
             rolled = [jnp.roll(total[col], -s, axis=0) for e, col, s in edges]
             Vt = jnp.stack([r - C[e] for r, (e, col, s) in zip(rolled, edges)])
-            Cnew = _cn_minsum_soft(Vt, alphas[t], betas[t])
+            Cnew = _cn_minsum_soft(Vt, a_t, b_t)
             for j, (e, col, s) in enumerate(edges):
                 total = total.at[col].set(jnp.roll(Vt[j] + Cnew[j], s, axis=0))
-                C[e] = Cnew[j]
-        outs.append(total.reshape(nb * Z, B).T)
-    return jnp.stack(outs)  # [T, B, n]
+                C = C.at[e].set(Cnew[j])
+        return (total, C), total.reshape(nb * Z, B).T
+
+    body = jax.checkpoint(one_iter) if remat else one_iter
+    ab = jnp.stack([jnp.asarray(alphas, jnp.float32),
+                    jnp.asarray(betas, jnp.float32)], axis=1)  # [T, 2]
+    _, outs = jax.lax.scan(body, (total0, C0), ab)
+    return outs  # [T, B, n]
 
 
 def soft_ber_loss(posteriors, cw):
@@ -164,3 +175,30 @@ def train_noms(
                                        jax.random.fold_in(key, s))
         losses.append(float(loss))
     return params, np.asarray(losses)
+
+
+def load_schedule(name: str) -> NomsParams:
+    """Load a shipped trained schedule by name (files in
+    learn/schedules/, e.g. 'dvbs2_64800_12_T25'). Schedules are
+    CODE-SPECIFIC — cross-length transfer was measured to fail (a
+    schedule trained on dvbs2/16200 degrades dvbs2/64800) — and
+    beta-bearing schedules are SNR-BAND-specific, because the offset is
+    absolute while LLR scale grows with SNR; each file records its
+    trained ebn0_range_db and the measured numbers."""
+    import json
+    import pathlib
+
+    path = pathlib.Path(__file__).parent / "schedules" / f"{name}.json"
+    with open(path) as f:
+        d = json.load(f)
+    return NomsParams(
+        alphas=jnp.asarray(d["alphas"], jnp.float32),
+        betas=jnp.asarray(d["betas"], jnp.float32),
+    )
+
+
+def list_schedules() -> list:
+    import pathlib
+
+    p = pathlib.Path(__file__).parent / "schedules"
+    return sorted(f.stem for f in p.glob("*.json"))

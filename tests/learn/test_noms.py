@@ -44,6 +44,25 @@ def test_training_twin_matches_production_decoder(code):
     assert np.array_equal(bits_twin, np.asarray(res.bits))
 
 
+def test_shipped_schedule_loads_and_decodes():
+    """The packaged dvbs2/64800 schedule loads and drives the layered
+    decoder (tiny batch; full-scale numbers recorded in the JSON)."""
+    from ecc_ldpc_tpu.learn import list_schedules, load_schedule
+
+    assert "dvbs2_64800_12_T25" in list_schedules()
+    p = load_schedule("dvbs2_64800_12_T25")
+    assert p.iters == 25
+    assert np.all(np.asarray(p.alphas) > 0.5)
+    spec = get_code("dvbs2/64800/12")
+    qg = compile_qc_graph(spec)
+    dec = make_layered_decoder(qg, alpha=p.alphas[:3], beta=p.betas[:3],
+                               max_iters=3, early_term=False,
+                               sign_mode="count")
+    llr = jnp.ones((2, spec.n), jnp.float32) * 5.0
+    res = dec(llr)
+    assert np.all(np.asarray(res.bits) == 0)
+
+
 def test_training_reduces_loss(code):
     params, losses = train_noms(
         "80211n/648/12", iters=5, steps=30, batch=32, seed=1,
