@@ -190,15 +190,23 @@ def make_decoder(
 
 
 def parse_decoder_spec(spec: str) -> dict:
-    """Parse a compact decoder-spec string into make_decoder kwargs."""
+    """Parse a compact decoder-spec string into make_decoder kwargs.
+
+    'sched:NAME' loads a shipped learned schedule (learn/schedules/) as
+    per-iteration alpha/beta arrays, e.g.
+    'layered/sched:dvbs2_64800_12_T25'; an explicit iteration count may
+    truncate it ('.../20' uses the first 20 iterations)."""
     parts = spec.split("/")
     kind = parts[0]
     kw: dict = {"kind": kind}
+    sched = None
     for p in parts[1:]:
         if p.startswith("norm:"):
             kw["alpha"] = float(p[5:])
         elif p.startswith("offset:"):
             kw["beta"] = float(p[7:])
+        elif p.startswith("sched:"):
+            sched = p[6:]
         elif p == "noet":
             kw["early_term"] = False
         elif p in ("pallas", "xla", "xla-mm", "auto"):
@@ -207,6 +215,18 @@ def parse_decoder_spec(spec: str) -> dict:
             kw["max_iters"] = int(p)
         else:
             raise ValueError(f"bad decoder-spec component {p!r} in {spec!r}")
+    if sched is not None:
+        from ..learn import load_schedule
+
+        ps = load_schedule(sched)
+        T = kw.setdefault("max_iters", ps.iters)
+        if T > ps.iters:
+            raise ValueError(
+                f"schedule {sched!r} has {ps.iters} iterations, "
+                f"spec asks for {T}"
+            )
+        kw["alpha"] = ps.alphas[:T]
+        kw["beta"] = ps.betas[:T]
     return kw
 
 

@@ -63,6 +63,18 @@ def test_shipped_schedule_loads_and_decodes():
     assert np.all(np.asarray(res.bits) == 0)
 
 
+def test_schedule_decoder_spec_string():
+    """'sched:NAME' decoder-spec component loads the shipped schedule."""
+    from ecc_ldpc_tpu.decode.api import parse_decoder_spec
+
+    kw = parse_decoder_spec("layered/sched:dvbs2_64800_12_T25")
+    assert kw["max_iters"] == 25 and len(kw["alpha"]) == 25
+    kw = parse_decoder_spec("layered/sched:dvbs2_64800_12_T25/20")
+    assert kw["max_iters"] == 20 and len(kw["alpha"]) == 20
+    with pytest.raises(ValueError):
+        parse_decoder_spec("layered/sched:dvbs2_64800_12_T25/30")
+
+
 def test_training_reduces_loss(code):
     params, losses = train_noms(
         "80211n/648/12", iters=5, steps=30, batch=32, seed=1,
