@@ -78,3 +78,17 @@ def test_grid_mismatch_rejected():
             _spec(ebn0_db=(1.0, 2.0, 3.0)),
             make_mesh(MeshSpec(batch=4, snr=2)),
         )
+
+
+def test_sharded_sweep_spa_on_qc_code():
+    """Composition: pod-sharded sweep with the roll-form exact-BP decoder
+    on a QC code (the runner's QC-graph routing under shard_map)."""
+    res = run_sweep_sharded(
+        _spec(code="80211n/648/12", decoder="spa/10",
+              ebn0_db=(2.0, 3.0), batch=32,
+              stopping=StoppingRule(min_frame_errors=1, max_frames=64)),
+        make_mesh(MeshSpec(batch=4, snr=2)),
+    )
+    assert len(res) == 2
+    assert all(r.frames >= 32 for r in res)
+    assert res[1].frame_errors <= res[0].frame_errors
