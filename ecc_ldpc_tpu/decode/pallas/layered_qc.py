@@ -199,8 +199,19 @@ def _kernel(
         b_s = beta if ab_ref is None else ab_ref[1, t]
         keep = (frozen > 0.5) if track else None
         fail = jnp.zeros((Z, Bt), jnp.float32)
+        # flipacc: sign-flip accumulator (track mode only). Layers see
+        # different posterior snapshots, so all parities passing does NOT
+        # imply a consistent final state — freezing on that alone was a
+        # measured ~3e-4 detected-failure floor on DVB-S2. Pass WITH zero
+        # sign flips during the sweep means every layer's parity was
+        # evaluated on the final hard decisions: an exact syndrome.
+        flipacc0 = jnp.zeros((Z, Bt), jnp.int32)
         for deg, nrows, off in groups:
-            def layer(li, fail, deg=deg, off=off):
+            def layer(li, carry, deg=deg, off=off):
+                if track:
+                    fail, flipacc = carry
+                else:
+                    fail = carry
                 base = off + li * deg
                 # pass 1: roll posteriors into this layer's alignment,
                 # running two-min / sign / parity over extrinsic slabs
@@ -293,7 +304,14 @@ def _kernel(
                         # the posterior update so total and C stay consistent
                         # (frozen lanes must restore bit-exactly)
                         Cq = Cb.astype(jnp.float32)
-                        total_s[col] = jnp.where(keep, rolledv, v + Cq)
+                        neww = jnp.where(keep, rolledv, v + Cq)
+                        flipacc = flipacc | (
+                            (jax.lax.bitcast_convert_type(neww, jnp.int32)
+                             ^ jax.lax.bitcast_convert_type(
+                                 rolledv, jnp.int32))
+                            & _SGN_MASK
+                        )
+                        total_s[col] = neww
                     else:
                         # fixed-iteration path: posterior accumulates the
                         # UNQUANTIZED message (messages quantize through
@@ -302,8 +320,17 @@ def _kernel(
                         # the quantized form when msg_dtype is f32)
                         total_s[col] = v + Cnew
                     C_s[e] = Cb
+                if track:
+                    return fail, flipacc
                 return fail
-            fail = jax.lax.fori_loop(0, nrows, layer, fail)
+            if track:
+                fail, flipacc0 = jax.lax.fori_loop(
+                    0, nrows, layer, (fail, flipacc0)
+                )
+            else:
+                fail = jax.lax.fori_loop(0, nrows, layer, fail)
+        if track:
+            fail = jnp.maximum(fail, (flipacc0 != 0).astype(jnp.float32))
         return replica_max(fail)
 
     def sweep_classic(frozen, track, t=0):
@@ -314,8 +341,13 @@ def _kernel(
         b_s = beta if ab_ref is None else ab_ref[1, t]
         keep = (frozen > 0.5) if track else None
         fail = jnp.zeros((Z, Bt), jnp.float32)
+        flipacc0 = jnp.zeros((Z, Bt), jnp.int32)  # see sweep_delta
         for deg, nrows, off in groups:
-            def layer(li, fail, deg=deg, off=off):
+            def layer(li, carry, deg=deg, off=off):
+                if track:
+                    fail, flipacc = carry
+                else:
+                    fail = carry
                 base = off + li * deg
                 inf = jnp.full((Z, Bt), jnp.inf, jnp.float32)
                 zero = jnp.zeros((Z, Bt), jnp.float32)
@@ -352,12 +384,27 @@ def _kernel(
                         Cnew = jnp.where(keep, Cold, Cnew)
                     Cb = Cnew.astype(C_s.dtype)
                     Cq = Cb.astype(jnp.float32)
-                    total_s[col] = total_s[col] + pltpu.roll(
-                        Cq - Cold, be_shift_ref[e], 0
-                    )
+                    old = total_s[col]
+                    neww = old + pltpu.roll(Cq - Cold, be_shift_ref[e], 0)
+                    if track:
+                        flipacc = flipacc | (
+                            (jax.lax.bitcast_convert_type(neww, jnp.int32)
+                             ^ jax.lax.bitcast_convert_type(old, jnp.int32))
+                            & _SGN_MASK
+                        )
+                    total_s[col] = neww
                     C_s[e] = Cb
+                if track:
+                    return fail, flipacc
                 return fail
-            fail = jax.lax.fori_loop(0, nrows, layer, fail)
+            if track:
+                fail, flipacc0 = jax.lax.fori_loop(
+                    0, nrows, layer, (fail, flipacc0)
+                )
+            else:
+                fail = jax.lax.fori_loop(0, nrows, layer, fail)
+        if track:
+            fail = jnp.maximum(fail, (flipacc0 != 0).astype(jnp.float32))
         return replica_max(fail)
 
     sweep = sweep_delta if dup_free else sweep_classic

@@ -99,9 +99,17 @@ def decode_layered(
         """One layered iteration. Also accumulates the ON-THE-FLY syndrome:
         each layer's parity evaluated on the posteriors as that layer is
         processed (the standard hardware early-termination criterion —
-        costs nothing extra vs. a separate post-sweep syndrome pass). The
-        Pallas twin implements the identical accumulation."""
+        costs nothing extra vs. a separate post-sweep syndrome pass), AND
+        a hard-decision FLIP flag. Because layers see different posterior
+        snapshots, all parities can pass while the state is still moving —
+        freezing such a frame was a measured ~3e-4 detected-failure floor
+        on DVB-S2 (frames fixed-iteration mode decodes fine). Convergence
+        therefore additionally requires zero sign flips during the sweep:
+        then every layer's parity was evaluated on the final hard-decision
+        vector, making pass-with-no-flips an EXACT syndrome. The Pallas
+        twin implements the identical accumulation."""
         fail = jnp.zeros((total.shape[-1],), jnp.float32)
+        flip = jnp.zeros((total.shape[-1],), jnp.bool_)
         for i in graph.layer_order:
             edges = graph.layer_edges(i)
             rolled = [jnp.roll(total[col], -s, axis=0) for e, col, s in edges]
@@ -124,15 +132,23 @@ def decode_layered(
             # dynamic_update_slice, never scatter (TPU-safe).
             for j, (e, col, s) in enumerate(edges):
                 if dup_free:
-                    total = total.at[col].set(
-                        jnp.roll(Vt[j] + Cnew[j], s, axis=0)
+                    new_aligned = Vt[j] + Cnew[j]
+                    # signbit compare matches the kernel's integer form
+                    flip = flip | jnp.any(
+                        jnp.signbit(new_aligned) != jnp.signbit(rolled[j]),
+                        axis=0,
                     )
+                    total = total.at[col].set(jnp.roll(new_aligned, s, axis=0))
                 else:
+                    old = total[col]
                     total = total.at[col].add(
                         jnp.roll(Cnew[j] - C[e], s, axis=0)
                     )
+                    flip = flip | jnp.any(
+                        jnp.signbit(total[col]) != jnp.signbit(old), axis=0
+                    )
                 C = C.at[e].set(Cnew[j])
-        return total, C, fail > 0.5
+        return total, C, (fail > 0.5) | flip
 
     def body(state):
         total, C, done, iters, t = state

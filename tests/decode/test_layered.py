@@ -81,6 +81,23 @@ def test_layered_requires_qc_graph(qc_code):
         make_layered_decoder(g)
 
 
+def test_early_terminated_frames_satisfy_syndrome(qc_code):
+    """Exactness of the early-termination criterion: a frame that froze
+    BEFORE the iteration cap must satisfy the true posterior syndrome.
+    (The on-the-fly per-layer parity alone can pass while posteriors are
+    still moving — freezing on it was a measured ~3e-4 detected-failure
+    floor on DVB-S2; convergence now additionally requires zero sign
+    flips during the sweep, which makes pass exact.)"""
+    spec, qg, enc = qc_code
+    cw, llr = _tx(spec, enc, 512, 1.8, seed=17)  # marginal SNR, many paths
+    res = make_decoder(qg, kind="layered", alpha=0.8125, max_iters=12)(llr)
+    it = np.asarray(res.iterations)
+    ok = np.asarray(res.ok)
+    early = it < 12
+    assert early.any()
+    assert np.all(ok[early]), "frame froze early without a valid codeword"
+
+
 def test_layered_sweep_runs():
     """End-to-end through the Monte-Carlo harness with a layered decoder."""
     from ecc_ldpc_tpu.sim import StoppingRule, SweepSpec, run_sweep
