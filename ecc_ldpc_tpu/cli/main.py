@@ -134,6 +134,49 @@ def cmd_codes(args) -> int:
     return 0
 
 
+def cmd_learn(args) -> int:
+    """Train a per-iteration min-sum schedule (learn/noms.py) and write a
+    schedule JSON loadable with learn.load_schedule(path) or usable as
+    make_decoder(alpha=..., beta=...)."""
+    import json
+
+    import numpy as np
+
+    from ..learn import train_noms
+
+    code = args.code[0] if args.code else "80211n/648/12"
+    ebn0 = parse_ebn0(args.ebn0)
+    params, losses = train_noms(
+        code, iters=args.iters, steps=args.steps, batch=args.batch,
+        seed=args.seed, ebn0_range=(min(ebn0), max(ebn0)),
+        init_alpha=args.init_alpha, lr=args.lr,
+        learn_alpha=not args.beta_only, learn_beta=not args.alpha_only,
+    )
+    out = {
+        "code": code,
+        "decoder": "layered min-sum",
+        "iters": args.iters,
+        "alphas": [round(float(a), 6) for a in np.asarray(params.alphas)],
+        "betas": [round(float(b), 6) for b in np.asarray(params.betas)],
+        "trained": {
+            "objective": "multi-iteration soft-BER (learn/noms.py)",
+            "init_alpha": args.init_alpha, "steps": args.steps,
+            "batch": args.batch, "lr": args.lr, "seed": args.seed,
+            "ebn0_range_db": [min(ebn0), max(ebn0)],
+        },
+        "caveats": "code-specific; beta-bearing schedules are "
+                   "SNR-band-specific - use within ebn0_range_db",
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"loss {losses[:3].mean():.4f} -> {losses[-5:].mean():.4f}; "
+          f"wrote {args.out}")
+    print(f"use: decode.make_decoder(graph, 'layered', "
+          f"alpha=learn.load_schedule({args.out!r}).alphas, "
+          f"beta=..., max_iters={args.iters})")
+    return 0
+
+
 def cmd_bench(args) -> int:
     from ..bench.throughput import run_benchmark
 
@@ -200,6 +243,23 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("bench", help="decoded-throughput benchmark")
     common(sp)
     sp.set_defaults(fn=cmd_bench)
+
+    sp = sub.add_parser(
+        "learn", help="train a per-iteration min-sum schedule (NOMS)"
+    )
+    common(sp)
+    sp.add_argument("--ebn0", required=True,
+                    help="training SNR band, e.g. '1.8:2.6' or '2.0,2.4'")
+    sp.add_argument("--iters", type=int, default=25)
+    sp.add_argument("--steps", type=int, default=100)
+    sp.add_argument("--lr", type=float, default=1e-2)
+    sp.add_argument("--init-alpha", type=float, default=0.8125)
+    sp.add_argument("--alpha-only", action="store_true",
+                    help="freeze betas at 0 (scale-invariant schedule)")
+    sp.add_argument("--beta-only", action="store_true",
+                    help="freeze alphas at init")
+    sp.add_argument("--out", required=True, help="schedule JSON path")
+    sp.set_defaults(fn=cmd_learn)
     return p
 
 

@@ -178,17 +178,21 @@ def train_noms(
 
 
 def load_schedule(name: str) -> NomsParams:
-    """Load a shipped trained schedule by name (files in
-    learn/schedules/, e.g. 'dvbs2_64800_12_T25'). Schedules are
-    CODE-SPECIFIC — cross-length transfer was measured to fail (a
-    schedule trained on dvbs2/16200 degrades dvbs2/64800) — and
+    """Load a trained schedule: a shipped name (files in learn/schedules/,
+    e.g. 'dvbs2_64800_12_T25') or a path to a schedule JSON (anything
+    containing '/' or ending in '.json', e.g. from `ecc-sim learn --out`).
+    Schedules are CODE-SPECIFIC — cross-length transfer was measured to
+    fail (a schedule trained on dvbs2/16200 degrades dvbs2/64800) — and
     beta-bearing schedules are SNR-BAND-specific, because the offset is
     absolute while LLR scale grows with SNR; each file records its
     trained ebn0_range_db and the measured numbers."""
     import json
     import pathlib
 
-    path = pathlib.Path(__file__).parent / "schedules" / f"{name}.json"
+    if "/" in name or name.endswith(".json"):
+        path = pathlib.Path(name)
+    else:
+        path = pathlib.Path(__file__).parent / "schedules" / f"{name}.json"
     with open(path) as f:
         d = json.load(f)
     return NomsParams(

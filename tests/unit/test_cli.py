@@ -34,3 +34,16 @@ def test_sweep_command(tmp_path, capsys):
 def test_missing_required_args():
     with pytest.raises(SystemExit):
         main(["sweep"])  # --ebn0 required
+
+
+def test_cli_learn_writes_loadable_schedule(tmp_path):
+    from ecc_ldpc_tpu.cli.main import main
+    from ecc_ldpc_tpu.learn import load_schedule
+
+    out = str(tmp_path / "sched.json")
+    rc = main(["learn", "--code", "80211n/648/12", "--ebn0", "2.0,2.6",
+               "--iters", "3", "--steps", "4", "--batch", "16",
+               "--out", out])
+    assert rc == 0
+    p = load_schedule(out)
+    assert p.iters == 3
