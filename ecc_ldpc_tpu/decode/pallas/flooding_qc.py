@@ -134,10 +134,16 @@ def _kernel(
                     C_s[e] = Cq.astype(C_s.dtype)
                 return fail
             fail = jax.lax.fori_loop(0, nrows, layer, fail)
-        # swap: acc becomes the posterior (frozen lanes keep old totals)
+        # swap: acc becomes the posterior. Frozen lanes keep old totals —
+        # and so do lanes whose PRE-sweep state just verified (fail == 0):
+        # fail is the stale-posterior parity, so the verified state is the
+        # pre-sweep one; advancing it an extra sweep can flip a bit out of
+        # the codeword (measured detected-failure floor; twin comment in
+        # decode/xla/flooding_qc.py).
         if track:
+            keep_end = jnp.logical_or(keep, fail <= 0.5)
             total_s[:] = jnp.where(
-                keep, total_s[:].astype(jnp.float32),
+                keep_end, total_s[:].astype(jnp.float32),
                 acc_s[:].astype(jnp.float32),
             ).astype(total_s.dtype)
         else:
@@ -151,8 +157,10 @@ def _kernel(
         def body(carry):
             done, iters, it = carry
             fail = sweep(done, True)
-            iters = iters + (1.0 - done)
             done = jnp.maximum(done, 1.0 - fail)
+            # iters counts sweeps applied to the REPORTED state: a frame
+            # whose pre-sweep state verified kept that state (no advance)
+            iters = iters + (1.0 - done)
             return done, iters, it + 1
 
         def cond(carry):

@@ -146,12 +146,17 @@ def decode_flooding_qc(
         def body(state):
             total, C, done, iters = state
             new_total, newC, fail = sweep(total, C)
-            keep = done[None, None, :]
-            total = jnp.where(keep, total, new_total)
-            C = jnp.where(keep, C, newC)
-            iters = jnp.where(done, iters, iters + 1)
-            done = done | ~fail
-            return total, C, done, iters
+            # `fail` is the parity of the PRE-sweep posteriors (flooding
+            # reads stale totals all sweep), so a frame that passes must
+            # FREEZE THE PRE-SWEEP STATE — advancing it one more sweep
+            # discards the verified state and was a measured detected-
+            # failure floor (the extra sweep can flip a bit out of the
+            # codeword; fixed-iteration mode decoded those frames).
+            done_new = done | ~fail
+            total = jnp.where(done_new[None, None, :], total, new_total)
+            C = jnp.where(done[None, None, :], C, newC)
+            iters = jnp.where(done_new, iters, iters + 1)
+            return total, C, done_new, iters
 
         def cond(state):
             _, _, done, iters = state

@@ -98,3 +98,18 @@ def test_sweep_runs_spa_on_qc_code():
         stopping=StoppingRule(min_frame_errors=2, max_frames=128),
     ))
     assert res[0].frames >= 64 and res[0].mean_iters > 0
+
+
+@pytest.mark.parametrize("kind", ["minsum", "spa"])
+def test_early_terminated_frames_satisfy_syndrome(code, kind):
+    """Freeze-on-verified-state: a frame that terminated early must hold
+    a valid codeword (the pre-sweep state that passed the syndrome), not
+    the state one sweep later."""
+    spec, qg, enc = code
+    cw, llr = _tx(spec, enc, 512, 1.8, seed=23)
+    res = make_decoder(qg, kind=kind, max_iters=12)(llr)
+    it = np.asarray(res.iterations)
+    ok = np.asarray(res.ok)
+    early = it < 12
+    assert early.any()
+    assert np.all(ok[early]), kind
