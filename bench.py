@@ -46,6 +46,19 @@ def main() -> int:
                 line["r12_mbps"] = round(r12.throughput_mbps, 3)
             except Exception as e:  # noqa: BLE001 — headline already measured
                 print(f"r12 leg failed: {e!r}", file=sys.stderr)
+            try:
+                # production mode: exact early termination + the shipped
+                # operating-band learned schedule (learn/schedules/) at the
+                # 2.5 dB operating point — the r=1/2 config clears 1 Gbit/s
+                # here (README "Production mode")
+                prod = run_benchmark(
+                    code="dvbs2/64800/12",
+                    decoder="layered/sched:dvbs2_64800_12_T25_op2",
+                    batch=2048, ebn0_db=2.5,
+                )
+                line["prod_r12_mbps"] = round(prod.throughput_mbps, 3)
+            except Exception as e:  # noqa: BLE001
+                print(f"production leg failed: {e!r}", file=sys.stderr)
         print(json.dumps(line))
         return 0
     print(f"bench failed: {last_err}", file=sys.stderr)
