@@ -54,14 +54,10 @@ def run_scaling(
 ):
     from ..codes import get_code
     from ..decode import get_decoder
-    from ..decode.api import parse_decoder_spec
-    from ..graph import compile_graph, compile_qc_graph
+    from ..decode.api import choose_graph
 
     spec = get_code(code)
-    kw = parse_decoder_spec(decoder)
-    graph = (
-        compile_qc_graph(spec) if kw["kind"] == "layered" else compile_graph(spec)
-    )
+    graph = choose_graph(spec, decoder)
     devices = jax.devices()
     if device_counts is None:
         device_counts = [d for d in (1, 2, 4, 8, 16, 32) if d <= len(devices)]

@@ -128,16 +128,12 @@ def run_benchmark(
     from ..chan import awgn_llr
     from ..codes import get_code
     from ..decode import get_decoder
-    from ..decode.api import parse_decoder_spec
+    from ..decode.api import choose_graph, parse_decoder_spec
     from ..encode.structured import build_encoder
-    from ..graph import compile_graph, compile_qc_graph
 
     spec = get_code(code)
     kw = parse_decoder_spec(decoder)
-    if kw["kind"] == "layered":
-        graph = compile_qc_graph(spec)
-    else:
-        graph = compile_graph(spec)
+    graph = choose_graph(spec, decoder, backend=backend)
     overrides = {"backend": backend} if backend else {"backend": "auto"}
     dec = get_decoder(graph, decoder, **overrides)
     iters = kw.get("max_iters", 25)

@@ -144,8 +144,21 @@ def cmd_learn(args) -> int:
 
     from ..learn import train_noms
 
+    if args.alpha_only and args.beta_only:
+        raise SystemExit(
+            "--alpha-only and --beta-only together freeze every parameter "
+            "— nothing to train"
+        )
     code = args.code[0] if args.code else "80211n/648/12"
-    ebn0 = parse_ebn0(args.ebn0)
+    # --ebn0 here is a TRAINING BAND, not a sweep grid: 'lo:hi' is the
+    # band's endpoints (parse_ebn0's 1-dB default step would collapse
+    # '1.8:2.6' to a single point), and a comma list contributes its
+    # min/max.
+    if ":" in args.ebn0:
+        parts = [float(x) for x in args.ebn0.split(":")[:2]]
+        ebn0 = (min(parts), max(parts))
+    else:
+        ebn0 = parse_ebn0(args.ebn0)
     params, losses = train_noms(
         code, iters=args.iters, steps=args.steps, batch=args.batch,
         seed=args.seed, ebn0_range=(min(ebn0), max(ebn0)),

@@ -218,6 +218,16 @@ def parse_decoder_spec(spec: str) -> dict:
     if sched is not None:
         from ..learn import load_schedule
 
+        if kind != "layered":
+            raise ValueError(
+                f"sched: applies to layered decoding only (got {kind!r}) — "
+                f"shipped schedules are trained on the layered sweep"
+            )
+        if "alpha" in kw or "beta" in kw:
+            raise ValueError(
+                "decoder spec mixes norm:/offset: with sched: — a schedule "
+                "already fixes per-iteration alpha/beta"
+            )
         ps = load_schedule(sched)
         T = kw.setdefault("max_iters", ps.iters)
         if T > ps.iters:
@@ -234,3 +244,29 @@ def get_decoder(graph: CompiledGraph, spec: str, **overrides):
     kw = parse_decoder_spec(spec)
     kw.update(overrides)
     return make_decoder(graph, **kw)
+
+
+def choose_graph(code_spec, decoder_spec: str, backend: str | None = None):
+    """Compile the graph view a decoder spec needs — THE routing rule,
+    shared by the sim runner, the ECC facade, and the bench harnesses.
+
+    QC codes decode through the QC block view for every kind the roll
+    tiers serve (layered REQUIRES it; minsum/spa/minstar are TPU-safe
+    only there — the expanded gather form crashes the platform's TPU
+    compiler, see decode/xla/dense_mm.py). Explicit backend overrides
+    that only exist on the expanded graph win: 'xla-mm' always routes
+    there, and 'pallas' keeps the expanded graph for spa/minstar (the
+    fused incidence-matmul kernel) while QC-roll kinds stay on the QC
+    view. Non-QC codes always use the expanded graph."""
+    from ..graph import compile_graph, compile_qc_graph
+
+    kind = parse_decoder_spec(decoder_spec)["kind"]
+    if kind == "layered":
+        return compile_qc_graph(code_spec)  # raises clearly on non-QC codes
+    if code_spec.qc is None or kind not in ("minsum", "spa", "minstar"):
+        return compile_graph(code_spec)
+    if backend == "xla-mm":
+        return compile_graph(code_spec)
+    if backend == "pallas" and kind in ("spa", "minstar"):
+        return compile_graph(code_spec)  # fused_mm kernel serves these
+    return compile_qc_graph(code_spec)

@@ -119,7 +119,7 @@ def decode_flooding_qc(
             fail = jnp.maximum(fail, jnp.max(par, axis=0))
         return fail > 0.5
 
-    def sweep(total, C):
+    def sweep(total, C, track=True):
         """One flooding iteration: CN from fixed totals, then posterior
         rebuild. Returns (new_total, newC, onfly_fail)."""
         acc = llr3
@@ -127,11 +127,12 @@ def decode_flooding_qc(
         fail = jnp.zeros((B,), jnp.float32)
         for edges in rows:
             rolled = [jnp.roll(total[col], -s, axis=0) for e, col, s in edges]
-            hacc = 0.0
-            for r in rolled:
-                hacc = hacc + (r < 0).astype(jnp.float32)
-            par = hacc - 2.0 * jnp.floor(hacc * 0.5)
-            fail = jnp.maximum(fail, jnp.max(par, axis=0))
+            if track:
+                hacc = 0.0
+                for r in rolled:
+                    hacc = hacc + (r < 0).astype(jnp.float32)
+                par = hacc - 2.0 * jnp.floor(hacc * 0.5)
+                fail = jnp.maximum(fail, jnp.max(par, axis=0))
             V = jnp.stack([r - C[e] for r, (e, col, s) in zip(rolled, edges)])
             Cnew = cn_op(V, alpha, beta)
             for j, (e, col, s) in enumerate(edges):
@@ -168,7 +169,7 @@ def decode_flooding_qc(
     else:
         def pure_body(_, st):
             total, C = st
-            total, C, _ = sweep(total, C)
+            total, C, _ = sweep(total, C, track=False)
             return total, C
 
         total, _ = jax.lax.fori_loop(0, max_iters, pure_body, (total0, C0))

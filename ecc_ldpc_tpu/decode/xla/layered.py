@@ -95,7 +95,7 @@ def decode_layered(
     done0 = ~_syndrome_fail(graph, total0)
     iters0 = (total0[0, 0] * 0).astype(jnp.int32)  # varying-axes-safe zero
 
-    def sweep(total, C, alpha, beta):
+    def sweep(total, C, alpha, beta, track=True):
         """One layered iteration. Also accumulates the ON-THE-FLY syndrome:
         each layer's parity evaluated on the posteriors as that layer is
         processed (the standard hardware early-termination criterion —
@@ -113,11 +113,12 @@ def decode_layered(
         for i in graph.layer_order:
             edges = graph.layer_edges(i)
             rolled = [jnp.roll(total[col], -s, axis=0) for e, col, s in edges]
-            acc = 0.0
-            for r in rolled:
-                acc = acc + (r < 0).astype(jnp.float32)
-            par = acc - 2.0 * jnp.floor(acc * 0.5)
-            fail = jnp.maximum(fail, jnp.max(par, axis=0))
+            if track:
+                acc = 0.0
+                for r in rolled:
+                    acc = acc + (r < 0).astype(jnp.float32)
+                par = acc - 2.0 * jnp.floor(acc * 0.5)
+                fail = jnp.maximum(fail, jnp.max(par, axis=0))
             # extrinsic inputs, check-aligned
             Vt = jnp.stack(
                 [r - C[e] for r, (e, col, s) in zip(rolled, edges)]
@@ -133,20 +134,24 @@ def decode_layered(
             for j, (e, col, s) in enumerate(edges):
                 if dup_free:
                     new_aligned = Vt[j] + Cnew[j]
-                    # signbit compare matches the kernel's integer form
-                    flip = flip | jnp.any(
-                        jnp.signbit(new_aligned) != jnp.signbit(rolled[j]),
-                        axis=0,
-                    )
+                    if track:
+                        # signbit compare matches the kernel's integer form
+                        flip = flip | jnp.any(
+                            jnp.signbit(new_aligned)
+                            != jnp.signbit(rolled[j]),
+                            axis=0,
+                        )
                     total = total.at[col].set(jnp.roll(new_aligned, s, axis=0))
                 else:
                     old = total[col]
                     total = total.at[col].add(
                         jnp.roll(Cnew[j] - C[e], s, axis=0)
                     )
-                    flip = flip | jnp.any(
-                        jnp.signbit(total[col]) != jnp.signbit(old), axis=0
-                    )
+                    if track:
+                        flip = flip | jnp.any(
+                            jnp.signbit(total[col]) != jnp.signbit(old),
+                            axis=0,
+                        )
                 C = C.at[e].set(Cnew[j])
         return total, C, (fail > 0.5) | flip
 
@@ -174,7 +179,7 @@ def decode_layered(
         # The Pallas twin implements the same.
         def pure_body(t, st):
             total, C = st
-            total, C, _ = sweep(total, C, alphas[t], betas[t])
+            total, C, _ = sweep(total, C, alphas[t], betas[t], track=False)
             return total, C
 
         total, _ = jax.lax.fori_loop(0, max_iters, pure_body, (total0, C0))

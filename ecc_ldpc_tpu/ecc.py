@@ -22,9 +22,7 @@ from .chan.awgn import make_channel
 from .codes import get_code
 from .codes.spec import CodeSpec
 from .decode import get_decoder
-from .decode.api import parse_decoder_spec
 from .encode.structured import build_encoder
-from .graph import compile_graph, compile_qc_graph
 
 
 @dataclasses.dataclass
@@ -63,10 +61,9 @@ class ECC:
 def build_ecc(code: str, decoder: str = "minsum/norm:0.8125/25",
               backend: str | None = None) -> ECC:
     spec = get_code(code)
-    if parse_decoder_spec(decoder)["kind"] == "layered":
-        graph = compile_qc_graph(spec)
-    else:
-        graph = compile_graph(spec)
+    from .decode.api import choose_graph
+
+    graph = choose_graph(spec, decoder, backend=backend)
     overrides = {"backend": backend} if backend else {}
     return ECC(
         name=f"{code}|{decoder}",

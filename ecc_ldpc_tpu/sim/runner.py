@@ -122,27 +122,17 @@ class Pipeline:
         return _ldpc_pipeline(spec)
 
 
-def _graph_for(code, decoder_spec: str):
-    """QC codes decode through the QC block view for every kind the roll
-    tiers serve (layered REQUIRES it; minsum/spa/minstar are TPU-safe only
-    there — the expanded gather form crashes the platform's TPU compiler,
-    see decode/xla/dense_mm.py). Non-QC codes use the expanded graph."""
-    from ..decode.api import parse_decoder_spec
-    from ..graph.qc import compile_qc_graph
+def _graph_for(code, decoder_spec: str, backend=None):
+    from ..decode.api import choose_graph
 
-    kind = parse_decoder_spec(decoder_spec)["kind"]
-    if code.qc is not None and kind in ("layered", "minsum", "spa", "minstar"):
-        return compile_qc_graph(code)
-    if kind == "layered":
-        return compile_qc_graph(code)  # raises with a clear no-QC message
-    return compile_graph(code)
+    return choose_graph(code, decoder_spec, backend=backend)
 
 
 def _ldpc_pipeline(spec: SweepSpec) -> Pipeline:
     from ..encode.structured import build_encoder
 
     code = get_code(spec.code)
-    graph = _graph_for(code, spec.decoder)
+    graph = _graph_for(code, spec.decoder, backend=spec.backend)
     enc = build_encoder(code)
     overrides = {"backend": spec.backend} if spec.backend else {}
     dec = get_decoder(graph, spec.decoder, jit=False, **overrides)
@@ -293,7 +283,7 @@ def run_sweep_sharded(
     from ..encode.structured import build_encoder
 
     code = get_code(spec.code)
-    graph = _graph_for(code, spec.decoder)
+    graph = _graph_for(code, spec.decoder, backend=spec.backend)
     enc = build_encoder(code)
     overrides = {"backend": spec.backend} if spec.backend else {}
     dec = get_decoder(graph, spec.decoder, jit=False, **overrides)

@@ -34,3 +34,63 @@ def test_auto_tpu_raises_for_unroutable_request():
 def test_auto_cpu_still_routes_everything(plain_graph):
     dec = decode.make_decoder(plain_graph, kind="minstar", backend="auto")
     assert callable(dec)
+
+
+def test_choose_graph_routing():
+    """The shared routing rule honors explicit backend overrides that only
+    exist on the expanded graph, and keeps QC codes on the QC view
+    otherwise (TPU-safe roll tiers)."""
+    from ecc_ldpc_tpu.decode.api import choose_graph
+    from ecc_ldpc_tpu.graph import CompiledGraph, QCGraph
+
+    spec = codes.get_code("80211n/648/12")
+    assert isinstance(choose_graph(spec, "minsum/10"), QCGraph)
+    assert isinstance(choose_graph(spec, "spa/10"), QCGraph)
+    assert isinstance(choose_graph(spec, "layered/10"), QCGraph)
+    assert type(choose_graph(spec, "minsum/10", backend="xla-mm")) \
+        is CompiledGraph
+    assert type(choose_graph(spec, "spa/10", backend="pallas")) \
+        is CompiledGraph
+    assert isinstance(choose_graph(spec, "minsum/10", backend="pallas"),
+                      QCGraph)
+    plain = codes.get_code("mackay1008")
+    assert type(choose_graph(plain, "minsum/10")) is CompiledGraph
+
+
+def test_sched_spec_guards():
+    from ecc_ldpc_tpu.decode.api import parse_decoder_spec
+
+    with pytest.raises(ValueError, match="layered"):
+        parse_decoder_spec("minsum/sched:dvbs2_64800_12_T25")
+    with pytest.raises(ValueError, match="mixes"):
+        parse_decoder_spec("layered/norm:0.9/sched:dvbs2_64800_12_T25")
+
+
+def test_backend_override_through_sweep():
+    """--backend xla-mm on a QC code must route the expanded graph (was an
+    AttributeError crash when the QC view was forced)."""
+    from ecc_ldpc_tpu.sim import StoppingRule, SweepSpec, run_sweep
+
+    res = run_sweep(SweepSpec(
+        code="80211n/648/12", decoder="minsum/8", backend="xla-mm",
+        ebn0_db=(3.0,), batch=32,
+        stopping=StoppingRule(min_frame_errors=1, max_frames=32),
+    ))
+    assert res[0].frames >= 32
+
+
+def test_ecc_facade_routes_qc_spa():
+    """build_ecc uses the shared routing: spa on a QC code decodes
+    end-to-end (the roll form; the expanded gather graph is CPU-only and
+    was what the facade used to compile)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ecc_ldpc_tpu import build_ecc
+
+    ecc = build_ecc("80211n/648/12", "spa/8")
+    msg = jnp.zeros((4, ecc.k), jnp.uint8)
+    cw = ecc.encode(msg)
+    llr = (1.0 - 2.0 * cw.astype(jnp.float32)) * 8.0
+    res = ecc.decode(llr)
+    assert np.all(np.asarray(res.ok))

@@ -47,3 +47,27 @@ def test_cli_learn_writes_loadable_schedule(tmp_path):
     assert rc == 0
     p = load_schedule(out)
     assert p.iters == 3
+
+
+def test_cli_learn_band_parsing(tmp_path):
+    """'lo:hi' is a training BAND (endpoints), not a 1-dB-step grid —
+    '1.8:2.6' must record ebn0_range_db [1.8, 2.6], not collapse to 1.8."""
+    import json
+
+    from ecc_ldpc_tpu.cli.main import main
+
+    out = str(tmp_path / "s.json")
+    main(["learn", "--code", "80211n/648/12", "--ebn0", "1.8:2.6",
+          "--iters", "2", "--steps", "2", "--batch", "8", "--out", out])
+    d = json.load(open(out))
+    assert d["trained"]["ebn0_range_db"] == [1.8, 2.6]
+
+
+def test_cli_learn_rejects_all_frozen(tmp_path):
+    import pytest
+
+    from ecc_ldpc_tpu.cli.main import main
+
+    with pytest.raises(SystemExit, match="nothing to train"):
+        main(["learn", "--ebn0", "2.0,2.4", "--alpha-only", "--beta-only",
+              "--out", str(tmp_path / "s.json")])
