@@ -12,6 +12,12 @@ way the reference's "Model" tier decomposes its decoders (R7).
 """
 
 from .types import DecodeResult
-from .api import get_decoder, make_decoder
+from .api import choose_graph, get_decoder, make_decoder, with_retry
 
-__all__ = ["DecodeResult", "get_decoder", "make_decoder"]
+__all__ = [
+    "DecodeResult",
+    "choose_graph",
+    "get_decoder",
+    "make_decoder",
+    "with_retry",
+]

@@ -36,9 +36,26 @@ def make_decoder(
     early_term: bool = True,
     backend: str = "auto",
     jit: bool = True,
+    cleanup: bool = False,
 ) -> Callable[[jax.Array], DecodeResult]:
-    """Build `decode(llr[B, n]) -> DecodeResult` for one graph."""
+    """Build `decode(llr[B, n]) -> DecodeResult` for one graph.
+
+    cleanup=True (QC graphs) appends a Gallager-B-style bit-flip pass
+    that repairs the stuck-few-bits frames dominating the deep FER tail
+    (decode/xla/cleanup.py)."""
     from ..graph.qc import QCGraph
+
+    if cleanup:
+        if not isinstance(graph, QCGraph):
+            raise TypeError("cleanup=True needs a QCGraph (roll form)")
+        from .xla.cleanup import with_cleanup
+
+        inner = make_decoder(
+            graph, kind, alpha=alpha, beta=beta, max_iters=max_iters,
+            early_term=early_term, backend=backend, jit=False,
+        )
+        decode = with_cleanup(inner, graph)
+        return jax.jit(decode) if jit else decode
 
     if backend == "pallas":
         if kind == "layered":
@@ -209,6 +226,8 @@ def parse_decoder_spec(spec: str) -> dict:
             sched = p[6:]
         elif p == "noet":
             kw["early_term"] = False
+        elif p == "cleanup":
+            kw["cleanup"] = True
         elif p in ("pallas", "xla", "xla-mm", "auto"):
             kw["backend"] = p
         elif p.isdigit():
@@ -244,6 +263,52 @@ def get_decoder(graph: CompiledGraph, spec: str, **overrides):
     kw = parse_decoder_spec(spec)
     kw.update(overrides)
     return make_decoder(graph, **kw)
+
+
+def with_retry(primary, fallback, retry_batch: int = 32):
+    """Production wrapper: decode with `primary`; frames it fails
+    (ok=False) are re-decoded with `fallback` and replaced where the
+    fallback succeeds.
+
+    Why this works: the deep FER tail of layered min-sum is dominated by
+    small trapping sets (one degree-3 bit plus a staircase accumulator
+    run, 3 unsatisfied checks — microscoped on dvbs2/64800 at 1.35 dB),
+    and a decoder with different dynamics escapes them: spa/50 recovered
+    10/10 collected failures. Host-level gather/scatter between two
+    jitted decoders (at tail FERs the fallback runs on a tiny fraction
+    of frames), so use it OUTSIDE jit — for jitted pipelines, run the
+    sweep with the primary and re-decode failures offline.
+
+    Failed frames are gathered into fixed `retry_batch`-sized buckets so
+    the fallback compiles once (a data-dependent batch would recompile
+    per distinct failure count on this platform's remote helper)."""
+    import numpy as np
+
+    def decode(llr):
+        res = primary(llr)
+        ok = np.asarray(res.ok)
+        bad = np.flatnonzero(~ok)
+        if len(bad) == 0:
+            return res
+        pad = int(np.ceil(len(bad) / retry_batch)) * retry_batch
+        sel = np.concatenate([bad, np.full(pad - len(bad), bad[0])])
+        retry = fallback(jax.numpy.take(llr, jax.numpy.asarray(sel), axis=0))
+        retry = DecodeResult(
+            bits=retry.bits[: len(bad)], ok=retry.ok[: len(bad)],
+            iterations=retry.iterations[: len(bad)],
+        )
+        bits = np.array(res.bits)  # writable copy
+        bits[bad] = np.asarray(retry.bits)
+        ok = ok.copy()
+        ok[bad] = np.asarray(retry.ok)
+        iters = np.asarray(res.iterations).copy()
+        iters[bad] += np.asarray(retry.iterations)
+        return DecodeResult(
+            bits=jax.numpy.asarray(bits), ok=jax.numpy.asarray(ok),
+            iterations=jax.numpy.asarray(iters),
+        )
+
+    return decode
 
 
 def choose_graph(code_spec, decoder_spec: str, backend: str | None = None):

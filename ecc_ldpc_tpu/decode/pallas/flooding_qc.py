@@ -50,7 +50,14 @@ def supports(
         + llr_bytes * graph.nb              # llr in (llr_dtype)
         + 1 * graph.nb                      # bits out (int8)
     )
-    return graph.Z % 8 == 0 and state <= 124 * 1024 * 1024
+    # 84 MB cap: unlike the layered kernel, this kernel's recompute-heavy
+    # sweep makes Mosaic allocate tens of MB of register spill slots on
+    # top of the declared scratch (measured: a 111 MB-state config needed
+    # 128.06 MB and failed to compile), so big codes must leave room.
+    # n=64800 flooding falls back to the XLA roll tier — layered is the
+    # production kernel there anyway (and measured faster AND better-BER
+    # than flooding, docs/DESIGN.md §3).
+    return graph.Z % 8 == 0 and state <= 84 * 1024 * 1024
 
 
 def _kernel(
