@@ -24,7 +24,7 @@ def main() -> int:
         # schedule on the fused QC kernel — the TPU-native form of the
         # reference's structured-decoder tier.
         dict(code="dvbs2/64800/34", decoder="layered/norm:0.8125/25/noet",
-             batch=1024, ebn0_db=3.0),
+             batch=2048, ebn0_db=3.0),
         dict(code="mackay1008", decoder="minsum/norm:0.8125/25/noet",
              batch=2048),
     ]
@@ -41,7 +41,7 @@ def main() -> int:
                 r12 = run_benchmark(
                     code="dvbs2/64800/12",
                     decoder="layered/norm:0.8125/25/noet",
-                    batch=1024, ebn0_db=1.5,
+                    batch=2048, ebn0_db=1.5,
                 )
                 line["r12_mbps"] = round(r12.throughput_mbps, 3)
             except Exception as e:  # noqa: BLE001 — headline already measured
