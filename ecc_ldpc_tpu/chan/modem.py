@@ -1,0 +1,278 @@
+"""Channel-spec registry: BPSK/AWGN, hard-decision, BSC, and Gray M-QAM.
+
+The reference's channel model is BPSK over AWGN with soft LLR output
+(SURVEY.md §2.1 R2); this module generalizes the transmit step into a
+compact channel-spec string surface, mirroring the decoder-spec strings:
+
+  bpsk            soft-decision BPSK over AWGN (default; chan/awgn.py)
+  hard            hard-decision BPSK over AWGN: the receiver quantizes to
+                  one bit; LLR = sign * log((1-p)/p) with the crossover
+                  p = Q(sqrt(2*R*Eb/N0)) implied by the operating point
+  bsc:P           binary symmetric channel with a FIXED crossover P —
+                  ignores the sweep's Eb/N0 axis (useful for hard-decision
+                  decoder studies at a pinned flip rate)
+  qpsk            Gray QPSK over complex AWGN (== qam4)
+  qam16, qam64,   Gray square M-QAM over complex AWGN, exact bit LLRs
+  qam256          (per-dimension computation, see below)
+
+TPU-first notes:
+  * The QAM mapper avoids gathers entirely (this platform's TPU compiler
+    crashes on gather chains — see decode/xla/dense_mm.py): bit-to-level
+    lookup is a sum of compare-masked constants over the <=16 levels of
+    one dimension, all elementwise VPU work.
+  * The demapper computes EXACT log-likelihood ratios, not max-log: Gray
+    square QAM factorizes into two independent Gray-PAM dimensions (I
+    carries the first b/2 bits of each symbol, Q the rest), so the exact
+    per-bit LLR needs only a logsumexp over the L = sqrt(M) levels of one
+    dimension — a short Python loop of jnp.logaddexp accumulations, no
+    [.., M] intermediate ever materializes.
+
+Energy/noise conventions (consistent with chan/awgn.py's BPSK special
+case): constellations are normalized to unit average symbol energy
+(Es = 1); with b bits/symbol and code rate R, Es/N0 = b*R*(Eb/N0), so the
+per-dimension noise sigma^2 = 1/(2*b*R*10^(EbN0_dB/10)). For b=1 (BPSK)
+this reduces to the existing sigma = 1/sqrt(2*R*EbN0).
+
+Bit-to-symbol assignment: transmitted bits map to symbols in order —
+symbol s carries bits [s*b, s*b + b); within a symbol the first b/2 bits
+drive the I level and the last b/2 the Q level, each Gray-coded with the
+MSB first. Requires n divisible by b.
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .awgn import awgn_llr, make_channel, q_function
+
+
+# ---------------------------------------------------------------------------
+# Gray PAM tables (host-side, tiny)
+# ---------------------------------------------------------------------------
+
+
+def _gray(i: int) -> int:
+    return i ^ (i >> 1)
+
+
+def pam_tables(bits_per_dim: int):
+    """Gray-PAM constellation tables for one dimension.
+
+    Returns (levels[L], bit_table[L, bd], level_by_bitint[2**bd]) where
+    levels are UNSCALED odd integers (-L+1, ..., L-1), bit_table[i, j] is
+    bit j (MSB first) of level i's Gray label, and level_by_bitint[v] is
+    the unscaled level whose Gray label has integer value v.
+    """
+    L = 1 << bits_per_dim
+    levels = np.arange(L, dtype=np.float64) * 2.0 - (L - 1)
+    labels = np.asarray([_gray(i) for i in range(L)], dtype=np.int64)
+    bit_table = np.zeros((L, bits_per_dim), dtype=np.int64)
+    for i in range(L):
+        for j in range(bits_per_dim):
+            bit_table[i, j] = (labels[i] >> (bits_per_dim - 1 - j)) & 1
+    level_by_bitint = np.zeros(L, dtype=np.float64)
+    level_by_bitint[labels] = levels
+    return levels, bit_table, level_by_bitint
+
+
+def qam_unit_scale(M: int) -> float:
+    """Per-level scale d such that the square-M-QAM constellation
+    {(a_i*d, a_q*d)} with odd-integer a has unit average symbol energy:
+    Es = 2 * d^2 * (L^2 - 1) / 3 = 1 for L = sqrt(M) levels/dimension."""
+    L = int(round(math.sqrt(M)))
+    return math.sqrt(3.0 / (2.0 * (L * L - 1)))
+
+
+# ---------------------------------------------------------------------------
+# Gray square M-QAM over complex AWGN
+# ---------------------------------------------------------------------------
+
+
+def qam_modulate(bits: jax.Array, M: int):
+    """bits [..., n] in {0,1} -> (xi, xq) real symbol streams [..., n/b].
+
+    Gather-free: the Gray bit-int -> level lookup is a compare-mask sum
+    over the L <= 16 levels of one dimension.
+    """
+    b = int(round(math.log2(M)))
+    bd = b // 2
+    if 1 << b != M or b % 2:
+        raise ValueError(f"M={M} is not an even power of 2 (square QAM)")
+    n = bits.shape[-1]
+    if n % b:
+        raise ValueError(f"codeword length {n} not divisible by {b} bits/symbol")
+    d = qam_unit_scale(M)
+    _, _, lut = pam_tables(bd)
+    sym = bits.reshape(*bits.shape[:-1], n // b, b).astype(jnp.int32)
+
+    def map_dim(dim_bits):  # [..., n_sym, bd] -> [..., n_sym]
+        v = jnp.zeros(dim_bits.shape[:-1], jnp.int32)
+        for j in range(bd):
+            v = v + dim_bits[..., j] * (1 << (bd - 1 - j))
+        x = jnp.zeros(v.shape, jnp.float32)
+        for k in range(1 << bd):
+            x = x + jnp.float32(lut[k] * d) * (v == k)
+        return x
+
+    return map_dim(sym[..., :bd]), map_dim(sym[..., bd:])
+
+
+def pam_bit_llrs(y: jax.Array, bits_per_dim: int, scale: float, sigma):
+    """Exact per-bit LLRs for one Gray-PAM dimension.
+
+    y: [..., n_sym] received values; returns [..., n_sym, bits_per_dim]
+    with the framework's sign convention (positive LLR => bit 0).
+    Accumulates logsumexp level-by-level so no [..., L] tensor is built.
+    """
+    levels, bit_table, _ = pam_tables(bits_per_dim)
+    inv2s2 = 1.0 / (2.0 * sigma * sigma)
+    neg_inf = jnp.float32(-1e30)
+    acc0 = [jnp.full(y.shape, neg_inf) for _ in range(bits_per_dim)]
+    acc1 = [jnp.full(y.shape, neg_inf) for _ in range(bits_per_dim)]
+    for i in range(len(levels)):
+        dist = y - jnp.float32(levels[i] * scale)
+        metric = -(dist * dist) * inv2s2
+        for j in range(bits_per_dim):
+            if bit_table[i, j] == 0:
+                acc0[j] = jnp.logaddexp(acc0[j], metric)
+            else:
+                acc1[j] = jnp.logaddexp(acc1[j], metric)
+    return jnp.stack([a0 - a1 for a0, a1 in zip(acc0, acc1)], axis=-1)
+
+
+def qam_awgn_llr(key: jax.Array, bits: jax.Array, ebn0_db, rate,
+                 M: int) -> jax.Array:
+    """Transmit `bits` as Gray M-QAM over complex AWGN; return bit LLRs
+    (same shape as `bits`). Exact demapping (see module docstring)."""
+    b = int(round(math.log2(M)))
+    bd = b // 2
+    xi, xq = qam_modulate(bits, M)
+    ebn0 = 10.0 ** (jnp.asarray(ebn0_db, jnp.float32) / 10.0)
+    sigma = jax.lax.rsqrt(2.0 * b * rate * ebn0)  # per-dimension
+    ki, kq = jax.random.split(key)
+    yi = xi + sigma * jax.random.normal(ki, xi.shape, jnp.float32)
+    yq = xq + sigma * jax.random.normal(kq, xq.shape, jnp.float32)
+    d = qam_unit_scale(M)
+    li = pam_bit_llrs(yi, bd, d, sigma)  # [..., n_sym, bd]
+    lq = pam_bit_llrs(yq, bd, d, sigma)
+    llr = jnp.concatenate([li, lq], axis=-1)  # [..., n_sym, b]
+    return llr.reshape(*bits.shape)
+
+
+# ---------------------------------------------------------------------------
+# Hard-decision channels
+# ---------------------------------------------------------------------------
+
+
+def bsc_llr(key: jax.Array, bits: jax.Array, p) -> jax.Array:
+    """Binary symmetric channel with crossover p; LLR = +/-log((1-p)/p)."""
+    p = jnp.asarray(p, jnp.float32)
+    flips = jax.random.bernoulli(key, p, bits.shape)
+    received = jnp.logical_xor(bits.astype(jnp.bool_), flips)
+    mag = jnp.log1p(-p) - jnp.log(p)
+    return jnp.where(received, -mag, mag).astype(jnp.float32)
+
+
+def hard_bpsk_awgn_llr(key: jax.Array, bits: jax.Array, ebn0_db,
+                       rate) -> jax.Array:
+    """Hard-decision BPSK over AWGN: the demodulator keeps only the sign.
+
+    Equivalent to a BSC with p = Q(sqrt(2*R*Eb/N0)); the LLR magnitude is
+    log((1-p)/p) at that implied crossover, so soft decoders consume it
+    directly (all magnitudes equal => min-sum behaves as pure
+    hard-decision message passing with channel votes)."""
+    soft = awgn_llr(key, bits, ebn0_db, rate)
+    ebn0 = 10.0 ** (jnp.asarray(ebn0_db, jnp.float32) / 10.0)
+    p = q_function(jnp.sqrt(2.0 * rate * ebn0))
+    mag = jnp.log1p(-p) - jnp.log(p)
+    return jnp.sign(soft) * mag
+
+
+# ---------------------------------------------------------------------------
+# Channel-spec strings
+# ---------------------------------------------------------------------------
+
+_QAM_NAMES = {"qpsk": 4, "qam4": 4, "qam16": 16, "qam64": 64, "qam256": 256}
+
+
+def parse_channel_spec(spec: str) -> dict:
+    """'bpsk' | 'hard' | 'bsc:P' | 'qpsk' | 'qamM' -> build kwargs."""
+    s = spec.strip().lower()
+    if s in ("bpsk", "awgn", "bpsk-awgn"):
+        return {"kind": "bpsk"}
+    if s in ("hard", "bpsk-hard"):
+        return {"kind": "hard"}
+    if s.startswith("bsc:"):
+        p = float(s[4:])
+        if not 0.0 < p < 0.5:
+            raise ValueError(f"BSC crossover must be in (0, 0.5), got {p}")
+        return {"kind": "bsc", "p": p}
+    if s in _QAM_NAMES:
+        return {"kind": "qam", "M": _QAM_NAMES[s]}
+    raise ValueError(
+        f"unknown channel spec {spec!r} — one of bpsk, hard, bsc:P, "
+        f"qpsk, qam16, qam64, qam256"
+    )
+
+
+def build_channel(code_spec, channel: str = "bpsk") -> Callable:
+    """Channel function f(key, codeword_bits, ebn0_db) -> llr for a code.
+
+    The default 'bpsk' path is chan.awgn.make_channel (honors the code's
+    punctured/shortened positions). 'hard'/'bsc' apply the same masking.
+    QAM channels are gated to codes without puncture/shorten structure:
+    untransmitted bits inside a symbol would change the symbol grid."""
+    kw = parse_channel_spec(channel)
+    kind = kw["kind"]
+    if kind == "bpsk":
+        return make_channel(code_spec)
+
+    punct = np.asarray(code_spec.punctured_cols, dtype=np.int64)
+    short = np.asarray(code_spec.shortened_cols, dtype=np.int64)
+    masked = len(punct) or len(short)
+    rate = code_spec.rate
+
+    if kind == "qam":
+        M = kw["M"]
+        b = int(round(math.log2(M)))
+        if masked:
+            raise NotImplementedError(
+                f"{channel!r} on {code_spec.name!r}: QAM mapping over "
+                f"punctured/shortened codes is not supported (the symbol "
+                f"grid would straddle untransmitted bits) — use 'bpsk' "
+                f"or 'hard'"
+            )
+        if code_spec.n % b:
+            raise ValueError(
+                f"{channel!r} needs n divisible by {b} bits/symbol; "
+                f"{code_spec.name!r} has n={code_spec.n}"
+            )
+        return lambda key, cw, ebn0_db: qam_awgn_llr(key, cw, ebn0_db, rate, M)
+
+    # hard-output channels share the soft path's mask discipline:
+    # elementwise mask arithmetic, never scatter (see chan.awgn.make_channel)
+    keep = np.ones(code_spec.n, dtype=np.float32)
+    add = np.zeros(code_spec.n, dtype=np.float32)
+    keep[punct] = 0.0
+    keep[short] = 0.0
+    add[short] = 60.0
+
+    if kind == "bsc":
+        p = kw["p"]
+
+        def channel_bsc(key, cw, ebn0_db):
+            del ebn0_db  # fixed crossover by construction
+            llr = bsc_llr(key, cw, p)
+            return llr * keep + add if masked else llr
+
+        return channel_bsc
+
+    def channel_hard(key, cw, ebn0_db):
+        llr = hard_bpsk_awgn_llr(key, cw, ebn0_db, rate)
+        return llr * keep + add if masked else llr
+
+    return channel_hard

@@ -35,9 +35,14 @@ def per_frame_keys(point_key: jax.Array, frame_start, batch: int) -> jax.Array:
 
 def _point_counters(
     enc, dec, rate, k, batch, point_key, frame_start, ebn0_db,
-    punct=None, short=None,
+    punct=None, short=None, channel_fn=None,
 ):
-    """Counters for `batch` frames of one grid point on one device."""
+    """Counters for `batch` frames of one grid point on one device.
+
+    channel_fn, when given, replaces the default BPSK/AWGN(+mask) front:
+    it is applied per frame under vmap as channel_fn(key, cw_row, ebn0_db)
+    (any chan.modem.build_channel product qualifies — they are elementwise
+    /reshape-only, so per-row application is exact)."""
     keys = per_frame_keys(point_key, frame_start, batch)
     kmsg = jax.vmap(lambda kk: jax.random.fold_in(kk, 0))(keys)
     kchan = jax.vmap(lambda kk: jax.random.fold_in(kk, 1))(keys)
@@ -45,6 +50,16 @@ def _point_counters(
         lambda kk: jax.random.bernoulli(kk, 0.5, (k,)).astype(jnp.uint8)
     )(kmsg)
     cw = enc(msg)
+    if channel_fn is not None:
+        llr = jax.vmap(lambda kk, c: channel_fn(kk, c, ebn0_db))(kchan, cw)
+        res = dec(llr)
+        msg_hat = enc.extract_message(res.bits)
+        diff = msg_hat != msg
+        return (
+            jnp.sum(diff, dtype=jnp.int32),
+            jnp.sum(jnp.any(diff, axis=1), dtype=jnp.int32),
+            jnp.sum(res.iterations, dtype=jnp.int32),
+        )
     llr = jax.vmap(lambda kk, c: awgn_llr(kk, c, ebn0_db, rate))(kchan, cw)
     # elementwise masks, never scatter (see chan.make_channel)
     if punct is not None and len(punct):
@@ -84,6 +99,7 @@ def make_sharded_step(
     batch_per_device: int,
     punct=None,
     short=None,
+    channel_fn=None,
 ) -> Callable:
     """Build step(root_key, ebn0_grid, step_index) -> (bit_errs, frame_errs,
     iters_sum), each int32 [n_snr_points].
@@ -121,7 +137,7 @@ def make_sharded_step(
             be, fe, it = _point_counters(
                 enc, dec, rate, k, batch_per_device,
                 point_key, frame_start, ebn0_shard[p],
-                punct=punct, short=short,
+                punct=punct, short=short, channel_fn=channel_fn,
             )
             return jnp.stack([be, fe, it])
 

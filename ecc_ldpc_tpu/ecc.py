@@ -18,7 +18,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable
 
-from .chan.awgn import make_channel
+from .chan.modem import build_channel
 from .codes import get_code
 from .codes.spec import CodeSpec
 from .decode import get_decoder
@@ -59,7 +59,7 @@ class ECC:
 
 
 def build_ecc(code: str, decoder: str = "minsum/norm:0.8125/25",
-              backend: str | None = None) -> ECC:
+              backend: str | None = None, channel: str = "bpsk") -> ECC:
     spec = get_code(code)
     from .decode.api import choose_graph
 
@@ -70,5 +70,5 @@ def build_ecc(code: str, decoder: str = "minsum/norm:0.8125/25",
         spec=spec,
         encoder=build_encoder(spec),
         decoder=get_decoder(graph, decoder, **overrides),
-        channel=make_channel(spec),
+        channel=build_channel(spec, channel),
     )

@@ -24,8 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..chan import awgn_llr
-from ..chan.awgn import make_channel
+from ..chan.modem import build_channel
 from ..codes import get_code
 from ..decode import get_decoder
 from ..encode import DenseEncoder
@@ -44,6 +43,7 @@ class SweepSpec:
     seed: int = 0
     stopping: StoppingRule = StoppingRule()
     backend: Optional[str] = None  # decoder backend override
+    channel: str = "bpsk"  # channel-spec string (chan/modem.py)
     # fused_step=True compiles encode+channel+decode+tally as ONE module
     # (fewest dispatches). Some big structured codes (5G NR) make that
     # monolithic module pathologically slow to compile on this platform's
@@ -53,7 +53,9 @@ class SweepSpec:
     fused_step: bool = True
 
     def point_key(self, ebn0: float) -> str:
-        return f"{self.code}|{self.decoder}|{ebn0:g}"
+        base = f"{self.code}|{self.decoder}|{ebn0:g}"
+        # default channel keeps the legacy key so old resume states load
+        return base if self.channel == "bpsk" else f"{base}|{self.channel}"
 
 
 @dataclasses.dataclass
@@ -137,7 +139,9 @@ def _ldpc_pipeline(spec: SweepSpec) -> Pipeline:
     overrides = {"backend": spec.backend} if spec.backend else {}
     dec = get_decoder(graph, spec.decoder, jit=False, **overrides)
     B, k, rate = spec.batch, code.k, code.rate
-    channel = make_channel(code)  # honors punctured/shortened positions
+    # honors punctured/shortened positions; channel-spec strings select
+    # hard-decision / BSC / QAM fronts (chan/modem.py)
+    channel = build_channel(code, spec.channel)
 
     def step_body(key, ebn0_db):
         kmsg, kchan = jax.random.split(key)
@@ -186,19 +190,27 @@ def _staged_tally(enc, msg, res):
 
 
 def _bpsk_pipeline(spec: SweepSpec) -> Pipeline:
-    """Uncoded BPSK baseline (reference's ECC.BPSK, SURVEY.md §2.1 R3).
+    """Uncoded baseline (reference's ECC.BPSK, SURVEY.md §2.1 R3).
 
     Code string: "bpsk" or "bpsk/<n>"; rate 1, decode = hard decision.
+    Honors the sweep's channel spec, so uncoded QAM/BSC theory anchors
+    run through the same surface (e.g. --code bpsk/1008 --channel qam16).
     """
+    from ..codes.spec import CodeSpec
+
     parts = spec.code.split("/")
     n = int(parts[1]) if len(parts) > 1 else 1024
     B = spec.batch
+    # rate-1 "code" with an empty parity set, purely to carry (n, rate=1)
+    # through the channel-spec builder
+    identity = CodeSpec(name="uncoded", n=n, m=0, row_cols=(), k=n)
+    channel = build_channel(identity, spec.channel)
 
     @jax.jit
     def step(key, ebn0_db):
         kmsg, kchan = jax.random.split(key)
         msg = jax.random.bernoulli(kmsg, 0.5, (B, n)).astype(jnp.uint8)
-        llr = awgn_llr(kchan, msg, ebn0_db, 1.0)
+        llr = channel(kchan, msg, ebn0_db)
         hard = (llr < 0).astype(jnp.uint8)
         diff = hard != msg
         return (
@@ -298,10 +310,16 @@ def run_sweep_sharded(
         raise ValueError(f"batch {spec.batch} does not divide over {n_batch}")
     import numpy as _np
 
+    # non-default channel specs route through chan.modem (per-frame vmap);
+    # the default keeps the legacy in-step mask path (bit-identical history)
+    channel_fn = (
+        build_channel(code, spec.channel) if spec.channel != "bpsk" else None
+    )
     step = jax.jit(make_sharded_step(
         enc, dec, code.rate, code.k, mesh, spec.batch // n_batch,
         punct=_np.asarray(code.punctured_cols, _np.int32),
         short=_np.asarray(code.shortened_cols, _np.int32),
+        channel_fn=channel_fn,
     ))
 
     state = _load_state(resume_path)

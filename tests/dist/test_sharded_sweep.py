@@ -92,3 +92,19 @@ def test_sharded_sweep_spa_on_qc_code():
     assert len(res) == 2
     assert all(r.frames >= 32 for r in res)
     assert res[1].frame_errors <= res[0].frame_errors
+
+
+def test_sharded_sweep_channel_spec_mesh_invariant():
+    """Non-default channel specs route through chan.modem in the sharded
+    step (per-frame vmap) and stay mesh-shape-invariant."""
+    for channel in ("hard", "bsc:0.02"):
+        r82 = run_sweep_sharded(
+            _spec(channel=channel), make_mesh(MeshSpec(batch=4, snr=2)))
+        r41 = run_sweep_sharded(
+            _spec(channel=channel), make_mesh(
+                MeshSpec(batch=2, snr=2), devices=jax.devices()[:4]))
+        assert sum(r.frame_errors for r in r82) > 0  # noisy channels do err
+        for a, b in zip(r82, r41):
+            assert a.frames == b.frames
+            assert a.bit_errors == b.bit_errors
+            assert a.frame_errors == b.frame_errors

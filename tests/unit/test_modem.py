@@ -1,0 +1,208 @@
+"""Channel-spec registry tests: BSC, hard-decision, Gray M-QAM (chan/modem.py).
+
+Validation strategy mirrors tests/unit/test_chan_encode.py: closed-form
+anchors (crossover probabilities, LLR magnitudes, Gray-QAM union-bound BER)
+plus an exact brute-force demapper oracle for the factorized QAM LLRs.
+"""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ecc_ldpc_tpu.chan.modem import (
+    bsc_llr,
+    build_channel,
+    hard_bpsk_awgn_llr,
+    pam_tables,
+    parse_channel_spec,
+    qam_awgn_llr,
+    qam_modulate,
+    qam_unit_scale,
+)
+
+
+def test_parse_channel_spec():
+    assert parse_channel_spec("bpsk") == {"kind": "bpsk"}
+    assert parse_channel_spec("hard") == {"kind": "hard"}
+    assert parse_channel_spec("bsc:0.03") == {"kind": "bsc", "p": 0.03}
+    assert parse_channel_spec("qpsk") == {"kind": "qam", "M": 4}
+    assert parse_channel_spec("qam64") == {"kind": "qam", "M": 64}
+    with pytest.raises(ValueError):
+        parse_channel_spec("qam8")  # not square
+    with pytest.raises(ValueError):
+        parse_channel_spec("bsc:0.7")
+
+
+def test_gray_pam_tables():
+    levels, bit_table, lut = pam_tables(2)
+    assert list(levels) == [-3.0, -1.0, 1.0, 3.0]
+    # adjacent levels differ in exactly one bit (Gray property)
+    for i in range(3):
+        assert int(np.sum(bit_table[i] != bit_table[i + 1])) == 1
+    # lut maps each bit-int back to the level carrying that label
+    for i in range(4):
+        v = int(bit_table[i, 0]) * 2 + int(bit_table[i, 1])
+        assert lut[v] == levels[i]
+
+
+@pytest.mark.parametrize("M", [4, 16, 64])
+def test_qam_unit_energy_and_modulate(M):
+    key = jax.random.key(0)
+    b = int(math.log2(M))
+    bits = jax.random.bernoulli(key, 0.5, (64, 8 * b)).astype(jnp.uint8)
+    xi, xq = qam_modulate(bits, M)
+    es = np.mean(np.asarray(xi) ** 2 + np.asarray(xq) ** 2)
+    # average over random symbols approaches Es=1 (exact for equiprobable)
+    assert abs(es - 1.0) < 0.05
+    # every point lies on the scaled odd-integer grid
+    d = qam_unit_scale(M)
+    L = int(round(math.sqrt(M)))
+    grid = (np.arange(L) * 2.0 - (L - 1)) * d
+    assert np.all(np.isclose(np.asarray(xi)[..., None], grid, atol=1e-6).any(-1))
+
+
+@pytest.mark.parametrize("M", [4, 16, 64])
+def test_qam_noiseless_roundtrip(M):
+    b = int(math.log2(M))
+    key = jax.random.key(1)
+    bits = jax.random.bernoulli(key, 0.5, (16, 4 * b)).astype(jnp.uint8)
+    # very high Eb/N0: LLR signs must recover every bit
+    llr = qam_awgn_llr(jax.random.key(2), bits, 30.0, 1.0, M)
+    hard = np.asarray(llr < 0).astype(np.uint8)
+    np.testing.assert_array_equal(hard, np.asarray(bits))
+
+
+@pytest.mark.parametrize("M", [16, 64])
+def test_qam_llr_matches_bruteforce_2d(M):
+    """The factorized per-dimension LLR equals the exact 2-D demapper."""
+    b = int(math.log2(M))
+    bd = b // 2
+    d = qam_unit_scale(M)
+    levels, bit_table, _ = pam_tables(bd)
+    # full 2-D constellation and its b-bit labels
+    pts, labels = [], []
+    for i in range(len(levels)):
+        for q in range(len(levels)):
+            pts.append((levels[i] * d, levels[q] * d))
+            labels.append(list(bit_table[i]) + list(bit_table[q]))
+    pts = np.asarray(pts)
+    labels = np.asarray(labels)
+
+    rng = np.random.default_rng(3)
+    sigma = 0.35
+    y = rng.normal(size=(50, 2)) * 0.8  # arbitrary received points
+
+    # brute force: logsumexp over all M symbols per bit
+    m = -((y[:, None, 0] - pts[None, :, 0]) ** 2
+          + (y[:, None, 1] - pts[None, :, 1]) ** 2) / (2 * sigma * sigma)
+    ref = np.zeros((50, b))
+    for j in range(b):
+        from scipy.special import logsumexp
+
+        ref[:, j] = (logsumexp(m[:, labels[:, j] == 0], axis=1)
+                     - logsumexp(m[:, labels[:, j] == 1], axis=1))
+
+    from ecc_ldpc_tpu.chan.modem import pam_bit_llrs
+
+    li = np.asarray(pam_bit_llrs(jnp.asarray(y[:, 0]), bd, d, sigma))
+    lq = np.asarray(pam_bit_llrs(jnp.asarray(y[:, 1]), bd, d, sigma))
+    got = np.concatenate([li, lq], axis=-1)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_qpsk_equals_bpsk_ber():
+    """Gray QPSK carries two independent BPSK dimensions: uncoded BER must
+    match Q(sqrt(2 Eb/N0)) like BPSK (the closed-form anchor)."""
+    from ecc_ldpc_tpu.chan.awgn import uncoded_bpsk_ber
+
+    key = jax.random.key(4)
+    kb, kc = jax.random.split(key)
+    bits = jax.random.bernoulli(kb, 0.5, (512, 2048)).astype(jnp.uint8)
+    ebn0 = 4.0
+    llr = qam_awgn_llr(kc, bits, ebn0, 1.0, 4)
+    ber = float(jnp.mean((llr < 0) != bits))
+    theory = float(uncoded_bpsk_ber(ebn0))  # ~1.25e-2
+    assert abs(ber - theory) < 0.15 * theory
+
+
+@pytest.mark.parametrize("M,ebn0", [(16, 8.0), (64, 12.0)])
+def test_qam_uncoded_ber_anchor(M, ebn0):
+    """Gray square M-QAM uncoded BER vs the standard nearest-neighbor
+    approximation Pb ~ (4/b)(1-1/sqrt(M)) Q(sqrt(3 b gamma/(M-1)))."""
+    from ecc_ldpc_tpu.chan.awgn import q_function
+
+    b = int(math.log2(M))
+    key = jax.random.key(5)
+    kb, kc = jax.random.split(key)
+    bits = jax.random.bernoulli(kb, 0.5, (256, 512 * b)).astype(jnp.uint8)
+    llr = qam_awgn_llr(kc, bits, ebn0, 1.0, M)
+    ber = float(jnp.mean((llr < 0) != bits))
+    g = 10.0 ** (ebn0 / 10.0)
+    theory = (4.0 / b) * (1 - 1 / math.sqrt(M)) * float(
+        q_function(math.sqrt(3.0 * b * g / (M - 1)))
+    )
+    assert 0.8 * theory < ber < 1.2 * theory
+
+
+def test_bsc_crossover_and_llr():
+    p = 0.05
+    key = jax.random.key(6)
+    bits = jnp.zeros((400, 1000), jnp.uint8)
+    llr = bsc_llr(key, bits, p)
+    mag = math.log((1 - p) / p)
+    np.testing.assert_allclose(np.abs(np.asarray(llr)), mag, rtol=1e-5)
+    flip_rate = float(jnp.mean(llr < 0))
+    assert abs(flip_rate - p) < 0.005
+
+
+def test_hard_channel_crossover():
+    """Hard-decision BPSK/AWGN == BSC with p = Q(sqrt(2 R Eb/N0))."""
+    from ecc_ldpc_tpu.chan.awgn import q_function
+
+    rate, ebn0 = 0.5, 2.0
+    key = jax.random.key(7)
+    bits = jnp.zeros((400, 1000), jnp.uint8)
+    llr = hard_bpsk_awgn_llr(key, bits, ebn0, rate)
+    p = float(q_function(math.sqrt(2 * rate * 10 ** (ebn0 / 10))))
+    mag = math.log((1 - p) / p)
+    np.testing.assert_allclose(np.abs(np.asarray(llr)), mag, rtol=1e-4)
+    flip_rate = float(jnp.mean(llr < 0))
+    assert abs(flip_rate - p) < 0.1 * p + 0.003
+
+
+def test_build_channel_gates():
+    from ecc_ldpc_tpu.codes import get_code
+
+    nr = get_code("nr5g/bg2/52")  # has the 2Zc systematic puncture
+    assert len(nr.punctured_cols) or len(nr.shortened_cols)
+    with pytest.raises(NotImplementedError):
+        build_channel(nr, "qam16")
+    # bits/symbol must divide n
+    from ecc_ldpc_tpu.codes.spec import CodeSpec
+
+    odd = CodeSpec(name="odd", n=1007, m=0, row_cols=(), k=1007)
+    with pytest.raises(ValueError):
+        build_channel(odd, "qam16")
+
+
+def test_ldpc_decodes_over_qam16_and_hard():
+    """End-to-end: mackay1008 + min-sum decodes cleanly over 16-QAM at high
+    Eb/N0 and over the hard-decision channel at very high Eb/N0."""
+    from ecc_ldpc_tpu.ecc import build_ecc
+
+    ecc = build_ecc("mackay1008", "minsum/norm:0.8125/25", channel="qam16")
+    key = jax.random.key(8)
+    km, kc = jax.random.split(key)
+    msg = jax.random.bernoulli(km, 0.5, (8, ecc.k)).astype(jnp.uint8)
+    cw = ecc.encode(msg)
+    out = ecc.decode(ecc.transmit(kc, cw, 9.0))
+    assert bool(jnp.all(out.ok))
+    np.testing.assert_array_equal(
+        np.asarray(ecc.extract_message(out.bits)), np.asarray(msg)
+    )
+
+    ecc_h = build_ecc("mackay1008", "minsum/norm:0.8125/25", channel="hard")
+    out = ecc_h.decode(ecc_h.transmit(kc, cw, 7.0))
+    assert bool(jnp.all(out.ok))
