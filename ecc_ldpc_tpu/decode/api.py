@@ -9,6 +9,8 @@ equivalent here is a decoder-spec string, e.g.:
   minsum/norm:0.8125/25     normalized min-sum, alpha=0.8125
   minsum/offset:0.15/25     offset min-sum, beta=0.15
   layered/norm:0.8125/25    layered schedule (QC codes; later milestone)
+  bitflip/50                parallel majority bit flipping (hard decision)
+  gdbf/theta:-0.5/50        gradient-descent bit flipping (soft metric)
 
 Suffix flags: append '/noet' to disable syndrome early termination (the
 fixed-iteration benchmark mode), '/pallas' to select the native kernel tier.
@@ -32,6 +34,7 @@ def make_decoder(
     *,
     alpha: float = 1.0,
     beta: float = 0.0,
+    theta: float = 0.0,
     max_iters: int = 25,
     early_term: bool = True,
     backend: str = "auto",
@@ -51,11 +54,28 @@ def make_decoder(
         from .xla.cleanup import with_cleanup
 
         inner = make_decoder(
-            graph, kind, alpha=alpha, beta=beta, max_iters=max_iters,
-            early_term=early_term, backend=backend, jit=False,
+            graph, kind, alpha=alpha, beta=beta, theta=theta,
+            max_iters=max_iters, early_term=early_term, backend=backend,
+            jit=False,
         )
         decode = with_cleanup(inner, graph)
         return jax.jit(decode) if jit else decode
+
+    if kind in ("bitflip", "gdbf"):
+        # hard-decision tier (decode/xla/bitflip.py): rolls on QC graphs,
+        # incidence matmuls on small unstructured ones — both TPU-safe, so
+        # there is no backend split to route
+        if backend == "pallas":
+            raise KeyError(
+                f"{kind!r} has no Pallas tier (its hot loop is already "
+                f"roll/matmul-shaped XLA)"
+            )
+        from .xla.bitflip import make_bitflip_decoder
+
+        return make_bitflip_decoder(
+            graph, variant="maj" if kind == "bitflip" else "gdbf",
+            theta=theta, max_iters=max_iters, early_term=early_term, jit=jit,
+        )
 
     if backend == "pallas":
         if kind == "layered":
@@ -178,7 +198,7 @@ def make_decoder(
     if isinstance(graph, QCGraph) and kind != "layered":
         raise KeyError(
             f"unknown decoder kind {kind!r} for a QCGraph — one of "
-            f"'minsum', 'spa', 'minstar', 'layered'"
+            f"'minsum', 'spa', 'minstar', 'layered', 'bitflip', 'gdbf'"
         )
     if kind == "spa":
         cn_op = cn_spa
@@ -222,6 +242,8 @@ def parse_decoder_spec(spec: str) -> dict:
             kw["alpha"] = float(p[5:])
         elif p.startswith("offset:"):
             kw["beta"] = float(p[7:])
+        elif p.startswith("theta:"):
+            kw["theta"] = float(p[6:])  # gdbf flip threshold
         elif p.startswith("sched:"):
             sched = p[6:]
         elif p == "noet":
@@ -328,7 +350,9 @@ def choose_graph(code_spec, decoder_spec: str, backend: str | None = None):
     kind = parse_decoder_spec(decoder_spec)["kind"]
     if kind == "layered":
         return compile_qc_graph(code_spec)  # raises clearly on non-QC codes
-    if code_spec.qc is None or kind not in ("minsum", "spa", "minstar"):
+    if code_spec.qc is None or kind not in (
+        "minsum", "spa", "minstar", "bitflip", "gdbf"
+    ):
         return compile_graph(code_spec)
     if backend == "xla-mm":
         return compile_graph(code_spec)
