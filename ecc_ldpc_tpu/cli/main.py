@@ -120,6 +120,16 @@ def cmd_compare(args) -> int:
 def cmd_codes(args) -> int:
     from ..codes import list_codes
 
+    if args.threshold:
+        from ..codes import get_code
+        from ..codes.threshold import de_threshold_ebn0
+
+        for spec_str in args.threshold:
+            spec = get_code(spec_str)
+            th = de_threshold_ebn0(spec)
+            print(f"{spec_str}: rate {spec.rate:.4f}, "
+                  f"BP threshold (GA-DE) {th:+.3f} dB Eb/N0")
+        return 0
     if args.info:
         import json
 
@@ -247,6 +257,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "profiles, 4-cycle census, QC block shape")
     sp.add_argument("--json", action="store_true",
                     help="emit --info reports as JSON lines")
+    sp.add_argument("--threshold", action="append", default=None,
+                    help="print the asymptotic BP threshold (protograph "
+                         "Gaussian-approximation density evolution) of a "
+                         "code spec (repeatable)")
     sp.add_argument("--no-cycles", action="store_true",
                     help="skip the 4-cycle census (O(sum col_deg^2))")
     sp.set_defaults(fn=cmd_codes)
