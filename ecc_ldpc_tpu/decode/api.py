@@ -35,6 +35,7 @@ def make_decoder(
     alpha: float = 1.0,
     beta: float = 0.0,
     theta: float = 0.0,
+    quant=None,
     max_iters: int = 25,
     early_term: bool = True,
     backend: str = "auto",
@@ -54,12 +55,29 @@ def make_decoder(
         from .xla.cleanup import with_cleanup
 
         inner = make_decoder(
-            graph, kind, alpha=alpha, beta=beta, theta=theta,
+            graph, kind, alpha=alpha, beta=beta, theta=theta, quant=quant,
             max_iters=max_iters, early_term=early_term, backend=backend,
             jit=False,
         )
         decode = with_cleanup(inner, graph)
         return jax.jit(decode) if jit else decode
+
+    if quant is not None:
+        # fixed-point message emulation lives in the layered oracle tier
+        # (static rolls — TPU-safe); the Pallas kernel's quantization is
+        # its bf16 storage, a different (and validated) grid
+        if kind != "layered":
+            raise KeyError(
+                f"quant=(bits, step) is a layered-decoder option "
+                f"(got kind={kind!r})"
+            )
+        if backend == "pallas":
+            raise KeyError(
+                "quant emulation runs on the XLA layered tier — drop the "
+                "/pallas override (the kernel's quantization is bf16 "
+                "message storage)"
+            )
+        backend = "xla"
 
     if kind in ("bitflip", "gdbf"):
         # hard-decision tier (decode/xla/bitflip.py): rolls on QC graphs,
@@ -213,7 +231,7 @@ def make_decoder(
 
         return make_layered_decoder(
             graph, alpha=alpha, beta=beta, max_iters=max_iters,
-            early_term=early_term, jit=jit,
+            early_term=early_term, jit=jit, quant=quant,
         )
     else:
         raise KeyError(f"unknown decoder kind {kind!r}")
@@ -244,6 +262,12 @@ def parse_decoder_spec(spec: str) -> dict:
             kw["beta"] = float(p[7:])
         elif p.startswith("theta:"):
             kw["theta"] = float(p[6:])  # gdbf flip threshold
+        elif p.startswith("q:"):
+            bits_s, step_s = p[2:].split(":")
+            bits = int(bits_s)
+            if not 2 <= bits <= 16:
+                raise ValueError(f"quantizer bits out of range in {p!r}")
+            kw["quant"] = (bits, float(step_s))  # fixed-point emulation
         elif p.startswith("sched:"):
             sched = p[6:]
         elif p == "noet":

@@ -26,6 +26,17 @@ from ..types import DecodeResult
 _MAG_CAP = 1e12
 
 
+def quantize(x, bits: int, step: float):
+    """Symmetric uniform mid-tread quantizer: round(x/step) clipped to
+    +/-(2^(bits-1)-1) levels — the fixed-point message grid of a hardware
+    decoder. Keeps -0.0's sign (relevant under sign_mode='bitxor')."""
+    lim = float((1 << (bits - 1)) - 1)
+    q = jnp.clip(jnp.round(x / step), -lim, lim) * step
+    # jnp.round(-0.4/step)*step can produce +0.0 where x was negative;
+    # reapply the sign so signbit semantics survive quantization
+    return jnp.where(jnp.signbit(x), -jnp.abs(q), jnp.abs(q))
+
+
 def _cn_minsum_axis0(V, alpha: float, beta: float, signbit: bool = False):
     """Leave-one-out two-min CN update over axis 0 of [d, Z, B].
 
@@ -72,6 +83,7 @@ def decode_layered(
     max_iters: int = 25,
     early_term: bool = True,
     sign_mode: str = "bitxor",
+    quant=None,
 ) -> DecodeResult:
     """llr: f32 [B, n] -> DecodeResult. One iteration = one full sweep of
     all mb layers. sign_mode='bitxor' selects IEEE signbit sign semantics
@@ -82,7 +94,13 @@ def decode_layered(
 
     alpha/beta may be scalars or per-iteration arrays of length
     max_iters (learned NOMS schedules, see learn/noms.py); iteration t
-    uses alpha[t], beta[t]."""
+    uses alpha[t], beta[t].
+
+    quant=(bits, step) emulates a fixed-point hardware decoder: channel
+    LLRs and check messages live on a (bits)-bit uniform grid of the
+    given step (narrow message RAM), while posterior accumulation stays
+    wide (f32 stands in for the wider APP accumulator). Spec string form
+    'layered/q:5:0.5/25'."""
     B = llr.shape[0]
     Z, nb = graph.Z, graph.nb
     dup_free = graph.intra_layer_dup_free
@@ -91,6 +109,8 @@ def decode_layered(
     alphas = jnp.broadcast_to(jnp.asarray(alpha, jnp.float32), (max_iters,))
     betas = jnp.broadcast_to(jnp.asarray(beta, jnp.float32), (max_iters,))
     total0 = llr.T.astype(jnp.float32).reshape(nb, Z, B)
+    if quant is not None:
+        total0 = quantize(total0, *quant)
     C0 = jnp.zeros((graph.num_block_edges, Z, B), jnp.float32)
     done0 = ~_syndrome_fail(graph, total0)
     iters0 = (total0[0, 0] * 0).astype(jnp.int32)  # varying-axes-safe zero
@@ -125,6 +145,8 @@ def decode_layered(
             )  # [d, Z, B]
             Cnew = _cn_minsum_axis0(Vt, alpha, beta,
                                     signbit=sign_mode == "bitxor")
+            if quant is not None:
+                Cnew = quantize(Cnew, *quant)
             # posterior update. Dup-free graphs use the set form
             # `extrinsic + Cnew` (same f32 op order as the Pallas kernel's
             # alignment-carrying update, so the tiers stay bit-identical);
@@ -200,6 +222,7 @@ def make_layered_decoder(
     early_term: bool = True,
     jit: bool = True,
     sign_mode: str = "bitxor",
+    quant=None,
 ):
     from ...graph.qc import QCGraph as _QC
 
@@ -212,7 +235,7 @@ def make_layered_decoder(
     def decode(llr):
         return decode_layered(
             graph, llr, alpha=alpha, beta=beta, max_iters=max_iters,
-            early_term=early_term, sign_mode=sign_mode,
+            early_term=early_term, sign_mode=sign_mode, quant=quant,
         )
 
     return jax.jit(decode) if jit else decode
