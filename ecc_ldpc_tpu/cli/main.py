@@ -202,11 +202,20 @@ def cmd_learn(args) -> int:
 
 
 def cmd_bench(args) -> int:
+    code = args.code[0] if args.code else "dvbs2/64800/12"
+    decoder = (args.decoder[0] if args.decoder
+               else "minsum/norm:0.8125/25/noet")
+    if args.pipeline:
+        from ..bench.pipeline import run_pipeline_benchmark
+
+        print(run_pipeline_benchmark(
+            code=code, decoder=decoder, batch=args.batch).json_line())
+        return 0
     from ..bench.throughput import run_benchmark
 
     result = run_benchmark(
-        code=args.code[0] if args.code else "dvbs2/64800/12",
-        decoder=args.decoder[0] if args.decoder else "minsum/norm:0.8125/25/noet",
+        code=code,
+        decoder=decoder,
         batch=args.batch,
         profile_dir=args.profile_dir,
     )
@@ -273,6 +282,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("bench", help="decoded-throughput benchmark")
     common(sp)
+    sp.add_argument("--pipeline", action="store_true",
+                    help="measure encoder + full encode->channel->decode "
+                         "throughput instead of decode-only")
     sp.set_defaults(fn=cmd_bench)
 
     sp = sub.add_parser(

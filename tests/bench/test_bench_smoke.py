@@ -40,3 +40,15 @@ def test_scaling_smoke():
     )
     assert rows[0]["devices"] == 1 and rows[0]["efficiency"] == 1.0
     assert rows[1]["devices"] == 2 and rows[1]["mbps"] > 0
+
+
+def test_pipeline_bench_smoke():
+    from ecc_ldpc_tpu.bench.pipeline import run_pipeline_benchmark
+
+    r = run_pipeline_benchmark(
+        code="80211n/648/12", decoder="layered/norm:0.8125/5/noet",
+        batch=32, chain=3, tries=1,
+    )
+    assert r.encode_mbps > 0 and r.pipeline_mbps > 0
+    assert 0.0 <= r.decode_share <= 1.0
+    assert r.encode_mbps >= r.pipeline_mbps  # decode can only slow it down
