@@ -117,6 +117,30 @@ def cmd_compare(args) -> int:
     return rc
 
 
+def cmd_findsnr(args) -> int:
+    """Inverse sweep: bisect the Eb/N0 hitting a target FER. Coding gain
+    between two configs = the difference of their answers."""
+    import json
+
+    from ..sim.findsnr import find_operating_point
+
+    lo, hi = (float(x) for x in args.bracket.split(":")[:2])
+    for code in args.code or ["dvbs2/64800/12"]:
+        for decoder in args.decoder or ["layered/norm:0.8125/25"]:
+            op = find_operating_point(
+                code, decoder, target_fer=args.target_fer,
+                bracket=(lo, hi), tol_db=args.tol_db, batch=args.batch,
+                max_frames_per_probe=args.max_frames, channel=args.channel,
+                backend=args.backend, seed=args.seed,
+                progress=(lambda e, f, ci, n: print(
+                    f"  probe {e:+.3f} dB: FER {f:.3e} "
+                    f"[{ci[0]:.1e},{ci[1]:.1e}] over {n} frames",
+                    flush=True)) if args.verbose else None,
+            )
+            print(json.dumps(op.json_dict()))
+    return 0
+
+
 def cmd_codes(args) -> int:
     from ..codes import list_codes
 
@@ -279,6 +303,19 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sp.add_argument("results", nargs=2, help="two results JSON files")
     sp.set_defaults(fn=cmd_compare)
+
+    sp = sub.add_parser(
+        "findsnr", help="find the Eb/N0 hitting a target FER (inverse sweep)")
+    common(sp)
+    sp.add_argument("--target-fer", type=float, default=1e-2)
+    sp.add_argument("--bracket", default="0:6",
+                    help="'lo:hi' Eb/N0 search bracket in dB")
+    sp.add_argument("--tol-db", type=float, default=0.05)
+    sp.add_argument("--max-frames", type=int, default=65536,
+                    help="frame budget per probe point")
+    sp.add_argument("--channel", default="bpsk",
+                    help="channel spec (chan/modem.py)")
+    sp.set_defaults(fn=cmd_findsnr)
 
     sp = sub.add_parser("bench", help="decoded-throughput benchmark")
     common(sp)
