@@ -177,6 +177,31 @@ def bsc_llr(key: jax.Array, bits: jax.Array, p) -> jax.Array:
     return jnp.where(received, -mag, mag).astype(jnp.float32)
 
 
+def rayleigh_bpsk_llr(key: jax.Array, bits: jax.Array, ebn0_db,
+                      rate) -> jax.Array:
+    """Coherent BPSK over i.i.d. Rayleigh fading: y = h*x + n with
+    h ~ Rayleigh(E[h^2]=1) known at the receiver; LLR = 2*h*y/sigma^2.
+
+    Per-bit-independent fading == the perfectly-interleaved (BICM) model,
+    so no interleaver stage is needed or provided. Closed-form uncoded
+    anchor: Pb = (1 - sqrt(g/(1+g)))/2 for g = Eb/N0
+    (uncoded_rayleigh_ber below)."""
+    from .awgn import bpsk, llr_from_channel, noise_sigma
+
+    sigma = noise_sigma(ebn0_db, rate)
+    kh, kn = jax.random.split(key)
+    # |CN(0,1)| is Rayleigh with E[h^2]=1
+    h = jnp.abs(jax.random.normal(kh, bits.shape, jnp.complex64))
+    y = h * bpsk(bits) + sigma * jax.random.normal(kn, bits.shape, jnp.float32)
+    return h * llr_from_channel(y, sigma)
+
+
+def uncoded_rayleigh_ber(ebn0_db):
+    """Closed-form uncoded coherent-BPSK BER over Rayleigh fading."""
+    g = 10.0 ** (jnp.asarray(ebn0_db, jnp.float32) / 10.0)
+    return 0.5 * (1.0 - jnp.sqrt(g / (1.0 + g)))
+
+
 def hard_bpsk_awgn_llr(key: jax.Array, bits: jax.Array, ebn0_db,
                        rate) -> jax.Array:
     """Hard-decision BPSK over AWGN: the demodulator keeps only the sign.
@@ -206,6 +231,8 @@ def parse_channel_spec(spec: str) -> dict:
         return {"kind": "bpsk"}
     if s in ("hard", "bpsk-hard"):
         return {"kind": "hard"}
+    if s in ("rayleigh", "bpsk-rayleigh"):
+        return {"kind": "rayleigh"}
     if s.startswith("bsc:"):
         p = float(s[4:])
         if not 0.0 < p < 0.5:
@@ -214,8 +241,8 @@ def parse_channel_spec(spec: str) -> dict:
     if s in _QAM_NAMES:
         return {"kind": "qam", "M": _QAM_NAMES[s]}
     raise ValueError(
-        f"unknown channel spec {spec!r} — one of bpsk, hard, bsc:P, "
-        f"qpsk, qam16, qam64, qam256"
+        f"unknown channel spec {spec!r} — one of bpsk, hard, rayleigh, "
+        f"bsc:P, qpsk, qam16, qam64, qam256"
     )
 
 
@@ -270,6 +297,13 @@ def build_channel(code_spec, channel: str = "bpsk") -> Callable:
             return llr * keep + add if masked else llr
 
         return channel_bsc
+
+    if kind == "rayleigh":
+        def channel_ray(key, cw, ebn0_db):
+            llr = rayleigh_bpsk_llr(key, cw, ebn0_db, rate)
+            return llr * keep + add if masked else llr
+
+        return channel_ray
 
     def channel_hard(key, cw, ebn0_db):
         llr = hard_bpsk_awgn_llr(key, cw, ebn0_db, rate)

@@ -206,3 +206,32 @@ def test_ldpc_decodes_over_qam16_and_hard():
     ecc_h = build_ecc("mackay1008", "minsum/norm:0.8125/25", channel="hard")
     out = ecc_h.decode(ecc_h.transmit(kc, cw, 7.0))
     assert bool(jnp.all(out.ok))
+
+
+def test_rayleigh_uncoded_anchor():
+    """Coherent BPSK over i.i.d. Rayleigh: BER = (1 - sqrt(g/(1+g)))/2."""
+    from ecc_ldpc_tpu.chan.modem import rayleigh_bpsk_llr, uncoded_rayleigh_ber
+
+    key = jax.random.key(11)
+    bits = jnp.zeros((512, 2048), jnp.uint8)
+    for ebn0 in (5.0, 10.0):
+        llr = rayleigh_bpsk_llr(key, bits, ebn0, 1.0)
+        ber = float(jnp.mean(llr < 0))
+        theory = float(uncoded_rayleigh_ber(ebn0))
+        assert abs(ber - theory) < 0.05 * theory + 2e-4
+
+
+def test_rayleigh_worse_than_awgn_coded():
+    """Fading costs SNR: at a fixed operating point the coded FER over
+    Rayleigh must exceed the AWGN FER."""
+    from ecc_ldpc_tpu.ecc import build_ecc
+
+    key = jax.random.key(12)
+    km, kc = jax.random.split(key)
+    fers = {}
+    for ch in ("bpsk", "rayleigh"):
+        ecc = build_ecc("80211n/648/12", "layered/norm:0.8125/25", channel=ch)
+        msg = jax.random.bernoulli(km, 0.5, (256, ecc.k)).astype(jnp.uint8)
+        out = ecc.decode(ecc.transmit(kc, ecc.encode(msg), 2.5))
+        fers[ch] = float(jnp.mean(~out.ok))
+    assert fers["rayleigh"] > fers["bpsk"]
