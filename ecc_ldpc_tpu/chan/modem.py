@@ -202,6 +202,20 @@ def uncoded_rayleigh_ber(ebn0_db):
     return 0.5 * (1.0 - jnp.sqrt(g / (1.0 + g)))
 
 
+_ERASURE_KNOWN_LLR = 60.0
+
+
+def bec_llr(key: jax.Array, bits: jax.Array, eps) -> jax.Array:
+    """Binary erasure channel: each bit is erased (LLR 0) with probability
+    eps, otherwise known exactly (LLR +/-60). BP decoders handle this
+    directly — message magnitudes stay in {0, 60}-ish and BP degenerates
+    to the classic peeling decoder's fixed point."""
+    eps = jnp.asarray(eps, jnp.float32)
+    erased = jax.random.bernoulli(key, eps, bits.shape)
+    sign = 1.0 - 2.0 * bits.astype(jnp.float32)
+    return jnp.where(erased, 0.0, sign * _ERASURE_KNOWN_LLR)
+
+
 def hard_bpsk_awgn_llr(key: jax.Array, bits: jax.Array, ebn0_db,
                        rate) -> jax.Array:
     """Hard-decision BPSK over AWGN: the demodulator keeps only the sign.
@@ -238,11 +252,16 @@ def parse_channel_spec(spec: str) -> dict:
         if not 0.0 < p < 0.5:
             raise ValueError(f"BSC crossover must be in (0, 0.5), got {p}")
         return {"kind": "bsc", "p": p}
+    if s.startswith("bec:"):
+        eps = float(s[4:])
+        if not 0.0 < eps < 1.0:
+            raise ValueError(f"BEC erasure prob must be in (0, 1), got {eps}")
+        return {"kind": "bec", "eps": eps}
     if s in _QAM_NAMES:
         return {"kind": "qam", "M": _QAM_NAMES[s]}
     raise ValueError(
         f"unknown channel spec {spec!r} — one of bpsk, hard, rayleigh, "
-        f"bsc:P, qpsk, qam16, qam64, qam256"
+        f"bsc:P, bec:EPS, qpsk, qam16, qam64, qam256"
     )
 
 
@@ -297,6 +316,16 @@ def build_channel(code_spec, channel: str = "bpsk") -> Callable:
             return llr * keep + add if masked else llr
 
         return channel_bsc
+
+    if kind == "bec":
+        eps = kw["eps"]
+
+        def channel_bec(key, cw, ebn0_db):
+            del ebn0_db  # fixed erasure probability by construction
+            llr = bec_llr(key, cw, eps)
+            return llr * keep + add if masked else llr
+
+        return channel_bec
 
     if kind == "rayleigh":
         def channel_ray(key, cw, ebn0_db):

@@ -146,13 +146,16 @@ def cmd_codes(args) -> int:
 
     if args.threshold:
         from ..codes import get_code
-        from ..codes.threshold import de_threshold_ebn0
+        from ..codes.threshold import bec_threshold, de_threshold_ebn0
 
         for spec_str in args.threshold:
             spec = get_code(spec_str)
             th = de_threshold_ebn0(spec)
+            eps = bec_threshold(spec)
             print(f"{spec_str}: rate {spec.rate:.4f}, "
-                  f"BP threshold (GA-DE) {th:+.3f} dB Eb/N0")
+                  f"BP threshold (GA-DE) {th:+.3f} dB Eb/N0, "
+                  f"BEC threshold (exact DE) eps*={eps:.4f} "
+                  f"(capacity {1 - spec.rate:.4f})")
         return 0
     if args.info:
         import json

@@ -143,6 +143,70 @@ def de_converges(spec_graph, ebn0_db: float, rate: float,
     return False
 
 
+def bec_de_converges(spec_graph, eps: float, max_iters: int = 10000) -> bool:
+    """Protograph density evolution over the BEC — EXACT, no Gaussian
+    approximation: track per-edge erasure probabilities.
+
+      VN: x_e = eps_c * prod_{e' at c, e' != e} y_e'
+      CN: y_e = 1 - prod_{e' at r, e' != e} (1 - x_e')
+
+    Punctured columns have eps_c = 1 (never observed), shortened eps_c = 0.
+
+    Success criterion: at the fixed point, the POSTERIOR erasure
+    probability of every degree>=2 column vanishes. Degree-1 columns
+    (e.g. 5G NR extension parities) are excluded — their outgoing message
+    never drops below eps by construction (no second check to resolve
+    them), which leaves O(eps^k) floors on every posterior; decodability
+    of the code is the systematic/core part's erasure going to ~0, the
+    standard convention for such protographs. This exact recursion doubles
+    as a validation anchor for the Gaussian-approximate AWGN DE: the
+    (3,6) ensemble's BEC threshold is exactly ~0.4294."""
+    rows, cols, n_rows, n_cols, tx, sh = spec_graph
+    # per-column erasure prob: transmitted fraction sees eps, punctured
+    # fraction is always erased, shortened fraction never
+    eps_col = tx * eps + (1.0 - tx - sh) * 1.0 + sh * 0.0
+    E = len(rows)
+    col_deg = np.zeros(n_cols, np.int64)
+    np.add.at(col_deg, cols, 1)
+    # VN->CN erasure probs; the all-erased start is the monotone-from-above
+    # initialization, so the recursion converges to the worst fixed point
+    x = np.full(E, 1.0)
+    for _ in range(max_iters):
+        # CN update in log(1-x) space for stable leave-one-out products
+        # (clamp strictly below 1: 1.0 - 1e-300 rounds to exactly 1.0)
+        s = np.log1p(-np.minimum(x, 1.0 - 1e-15))
+        rowsum = np.zeros(n_rows)
+        np.add.at(rowsum, rows, s)
+        y = 1.0 - np.exp(rowsum[rows] - s)
+        # VN update in log(y) space; posterior = eps_c * prod over ALL edges
+        t = np.log(np.maximum(y, 1e-300))
+        colsum = np.zeros(n_cols)
+        np.add.at(colsum, cols, t)
+        x_new = eps_col[cols] * np.exp(colsum[cols] - t)
+        post = eps_col * np.exp(colsum)
+        if float(np.max(post[col_deg >= 2], initial=0.0)) < 1e-9:
+            return True
+        if float(np.max(np.abs(x_new - x))) < 1e-14:
+            # finite fixed point: decide on the deep columns' posteriors
+            return float(np.max(post[col_deg >= 2], initial=0.0)) < 1e-9
+        x = x_new
+    return False
+
+
+def bec_threshold(spec, *, tol: float = 1e-4) -> float:
+    """Exact BP threshold over the BEC: the largest erasure probability
+    the ensemble corrects as n -> infinity. Bisection on eps in (0, 1)."""
+    g = protograph(spec)
+    lo, hi = 0.0, 1.0  # eps=0 always succeeds, eps=1 never
+    while hi - lo > tol:
+        mid = 0.5 * (lo + hi)
+        if bec_de_converges(g, mid):
+            lo = mid
+        else:
+            hi = mid
+    return 0.5 * (lo + hi)
+
+
 def de_threshold_ebn0(spec, *, lo_db: float = -2.0, hi_db: float = 8.0,
                       tol_db: float = 0.01, max_iters: int = 2000) -> float:
     """BP threshold in Eb/N0 (dB) for BPSK/AWGN by bisection over GA-DE.

@@ -235,3 +235,24 @@ def test_rayleigh_worse_than_awgn_coded():
         out = ecc.decode(ecc.transmit(kc, ecc.encode(msg), 2.5))
         fers[ch] = float(jnp.mean(~out.ok))
     assert fers["rayleigh"] > fers["bpsk"]
+
+
+def test_bec_channel_and_decode_vs_threshold():
+    """BEC erasures decode through plain BP; FER behavior brackets the
+    exact DE threshold (eps* ~ 0.43 for the (3,6) ensemble): clean decode
+    well below it, failure well above."""
+    from ecc_ldpc_tpu.chan.modem import bec_llr
+    from ecc_ldpc_tpu.ecc import build_ecc
+
+    key = jax.random.key(13)
+    km, kc = jax.random.split(key)
+    for eps, lo, hi in ((0.25, 0.0, 0.05), (0.6, 0.8, 1.01)):
+        ecc = build_ecc("mackay1008", "minsum/60", channel=f"bec:{eps}")
+        msg = jax.random.bernoulli(km, 0.5, (64, ecc.k)).astype(jnp.uint8)
+        out = ecc.decode(ecc.transmit(kc, ecc.encode(msg), 0.0))
+        fer = float(jnp.mean(~out.ok))
+        assert lo <= fer <= hi, (eps, fer)
+    # LLR alphabet is exactly {0, +/-60}
+    llr = bec_llr(key, jnp.zeros((8, 100), jnp.uint8), 0.3)
+    vals = set(np.unique(np.asarray(llr)))
+    assert vals <= {0.0, 60.0}

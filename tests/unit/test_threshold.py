@@ -80,3 +80,23 @@ def test_de_converges_fixed_point_detection():
     g = protograph(get_code("mackay1008"))
     assert not de_converges(g, 0.2, 0.5, max_iters=2000)
     assert de_converges(g, 3.0, 0.5)
+
+
+def test_bec_threshold_exact_anchor():
+    """(3,6) regular over the BEC: the exact BP threshold is the known
+    constant ~0.42944 — no Gaussian approximation involved, so the band
+    is tight."""
+    from ecc_ldpc_tpu.codes.threshold import bec_threshold
+
+    eps = bec_threshold(get_code("mackay1008"))
+    assert abs(eps - 0.42944) < 2e-3
+
+
+def test_bec_thresholds_below_capacity():
+    from ecc_ldpc_tpu.codes.threshold import bec_threshold
+
+    for name in ("80211n/1944/12", "nr5g/bg2/384"):
+        spec = get_code(name)
+        eps = bec_threshold(spec)
+        cap = 1.0 - spec.rate
+        assert 0.5 * cap < eps < cap  # decodes well but below capacity
