@@ -79,5 +79,13 @@ def _register_builtins() -> None:
 
     register("punct", _punct)
 
+    def _sc(j, k, l, z, seed="s0"):
+        from .sc import sc_regular
+
+        return sc_regular(int(j), int(k), int(l), int(z),
+                          seed=int(seed.lstrip("s")))
+
+    register("sc", _sc)
+
 
 _register_builtins()
