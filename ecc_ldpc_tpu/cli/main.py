@@ -117,6 +117,21 @@ def cmd_compare(args) -> int:
     return rc
 
 
+def cmd_plot(args) -> int:
+    """ASCII waterfall curves from saved sweep results."""
+    import json
+
+    from ..sim.report import plot_curves
+    from ..sim.runner import PointResult
+
+    results = []
+    for path in args.results:
+        with open(path) as f:
+            results += [PointResult.from_json(d) for d in json.load(f)]
+    print(plot_curves(results, metric=args.metric))
+    return 0
+
+
 def cmd_findsnr(args) -> int:
     """Inverse sweep: bisect the Eb/N0 hitting a target FER. Coding gain
     between two configs = the difference of their answers."""
@@ -306,6 +321,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sp.add_argument("results", nargs=2, help="two results JSON files")
     sp.set_defaults(fn=cmd_compare)
+
+    sp = sub.add_parser("plot", help="ASCII waterfall curves from results")
+    sp.add_argument("results", nargs="+", help="results JSON files")
+    sp.add_argument("--metric", default="fer", choices=("fer", "ber"))
+    sp.set_defaults(fn=cmd_plot)
 
     sp = sub.add_parser(
         "findsnr", help="find the Eb/N0 hitting a target FER (inverse sweep)")

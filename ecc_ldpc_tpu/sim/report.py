@@ -73,3 +73,68 @@ def curves_overlap(
         if hi_a < lo_b or hi_b < lo_a:
             return False
     return True
+
+
+def plot_curves(results: Sequence[PointResult], metric: str = "fer",
+                width: int = 72, height: int = 22) -> str:
+    """ASCII waterfall plot: log10(metric) vs Eb/N0, one glyph per
+    (code, decoder) series — the reference's table output made visual
+    without leaving the terminal. Zero-valued points (no errors observed)
+    are drawn at the series' observable floor marker 'v' (an upper bound,
+    not a measurement)."""
+    series: dict = {}
+    for r in results:
+        series.setdefault((r.code, r.decoder), []).append(r)
+    if not series:
+        return "(no results)"
+    glyphs = "*o+x#@%&"
+    xs = sorted({r.ebn0_db for r in results})
+    vals = [getattr(r, metric) for r in results if getattr(r, metric) > 0]
+    # error-free points plot at their observable floor 1/denominator —
+    # include those in the range so the markers aren't clamped
+    for r in results:
+        if getattr(r, metric) == 0 and r.frames:
+            denom = (r.frames if metric == "fer"
+                     else r.frames * r.message_bits_per_frame)
+            vals.append(1.0 / denom)
+    if not vals:
+        return "(no frames recorded — nothing to plot)"
+    import math
+
+    ymax = math.ceil(math.log10(max(vals)))
+    ymin = math.floor(math.log10(min(vals)))
+    ymin = max(ymin, ymax - 10)  # cap dynamic range at 10 decades
+    x0, x1 = min(xs), max(xs) or 1.0
+    span_x = (x1 - x0) or 1.0
+    grid = [[" "] * width for _ in range(height)]
+
+    def put(x, y, ch):
+        c = int(round((x - x0) / span_x * (width - 1)))
+        rowf = (ymax - y) / max(ymax - ymin, 1e-9) * (height - 1)
+        r = min(height - 1, max(0, int(round(rowf))))
+        grid[r][c] = ch
+
+    floors = []
+    for si, ((code, dec), pts) in enumerate(sorted(series.items())):
+        g = glyphs[si % len(glyphs)]
+        for p in pts:
+            v = getattr(p, metric)
+            if v > 0:
+                put(p.ebn0_db, math.log10(v), g)
+            else:
+                denom = (p.frames if metric == "fer"
+                         else p.frames * p.message_bits_per_frame)
+                if denom:
+                    put(p.ebn0_db, math.log10(1.0 / denom), "v")
+        floors.append(f"  {g} = {code} | {dec}")
+    lines = []
+    for i, row in enumerate(grid):
+        y = ymax - i * (ymax - ymin) / max(height - 1, 1)
+        label = f"1e{y:+.0f}" if abs(y - round(y)) < 1e-6 else ""
+        lines.append(f"{label:>6s} |" + "".join(row))
+    lines.append(" " * 7 + "+" + "-" * width)
+    lines.append(f"{'':7s}{x0:<8.2f}{metric.upper()} vs Eb/N0 (dB)"
+                 f"{x1:>{max(1, width - 22)}.2f}")
+    lines += floors
+    lines.append("  v = error-free point (upper bound 1/frames)")
+    return "\n".join(lines)

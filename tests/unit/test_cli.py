@@ -71,3 +71,26 @@ def test_cli_learn_rejects_all_frozen(tmp_path):
     with pytest.raises(SystemExit, match="nothing to train"):
         main(["learn", "--ebn0", "2.0,2.4", "--alpha-only", "--beta-only",
               "--out", str(tmp_path / "s.json")])
+
+
+def test_cli_plot(tmp_path, capsys):
+    """plot renders ASCII curves from saved results."""
+    import json
+
+    from ecc_ldpc_tpu.cli.main import build_parser
+    from ecc_ldpc_tpu.sim.runner import PointResult
+
+    pts = [
+        PointResult(code="c", decoder="d", ebn0_db=e, frames=1000,
+                    bit_errors=be, frame_errors=fe,
+                    message_bits_per_frame=100)
+        for e, be, fe in ((0.0, 5000, 900), (1.0, 500, 90), (2.0, 5, 1),
+                          (3.0, 0, 0))
+    ]
+    path = tmp_path / "r.json"
+    path.write_text(json.dumps([p.to_json() for p in pts]))
+    args = build_parser().parse_args(["plot", str(path)])
+    assert args.fn(args) == 0
+    out = capsys.readouterr().out
+    assert "FER vs Eb/N0" in out and "c | d" in out
+    assert "v = error-free" in out
