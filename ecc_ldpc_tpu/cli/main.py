@@ -247,6 +247,17 @@ def cmd_bench(args) -> int:
     code = args.code[0] if args.code else "dvbs2/64800/12"
     decoder = (args.decoder[0] if args.decoder
                else "minsum/norm:0.8125/25/noet")
+    if args.ab:
+        # interleaved A/B: cross product of the --code/--decoder lists
+        from ..bench.ab import ab_compare
+
+        arms = [(c, d) for c in (args.code or [code])
+                for d in (args.decoder or [decoder])]
+        if len(arms) < 2:
+            raise SystemExit("--ab needs >=2 (code, decoder) combos — "
+                             "repeat --code and/or --decoder")
+        print(ab_compare(arms, batch=args.batch).json_line())
+        return 0
     if args.pipeline:
         from ..bench.pipeline import run_pipeline_benchmark
 
@@ -345,6 +356,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--pipeline", action="store_true",
                     help="measure encoder + full encode->channel->decode "
                          "throughput instead of decode-only")
+    sp.add_argument("--ab", action="store_true",
+                    help="interleaved A/B comparison over the --code x "
+                         "--decoder grid (the only drift-safe way to "
+                         "compare two configs)")
     sp.set_defaults(fn=cmd_bench)
 
     sp = sub.add_parser(

@@ -52,3 +52,17 @@ def test_pipeline_bench_smoke():
     assert r.encode_mbps > 0 and r.pipeline_mbps > 0
     assert 0.0 <= r.decode_share <= 1.0
     assert r.encode_mbps >= r.pipeline_mbps  # decode can only slow it down
+
+
+def test_ab_compare_smoke():
+    from ecc_ldpc_tpu.bench.ab import ab_compare
+
+    r = ab_compare(
+        [("80211n/648/12", "layered/norm:0.8125/5/noet"),
+         ("80211n/648/12", "layered/norm:0.8125/10/noet")],
+        batch=32, chain=2, reps=2,
+    )
+    assert len(r.mbps) == 2 and all(m > 0 for m in r.mbps)
+    assert r.ratios[0] == 1.0
+    # 10 iterations cost more than 5: arm 1 must be slower
+    assert r.ratios[1] < 1.0
