@@ -58,7 +58,7 @@ def analyze(spec: CodeSpec, *, cycles: bool = True) -> dict:
             "Z": int(qc.Z),
             "mb": int(qc.mb),
             "nb": int(qc.nb),
-            "block_edges": int(np.count_nonzero(np.asarray(qc.base) >= 0)),
+            "block_edges": int(len(qc.block_edges()[0])),
         }
     punct = getattr(spec, "punctured_cols", None) or ()
     short = getattr(spec, "shortened_cols", None) or ()

@@ -79,6 +79,12 @@ def _register_builtins() -> None:
 
     register("punct", _punct)
 
+    def _ccsds(k, rate, seed="s0"):
+        from .ccsds import ar4ja
+        return ar4ja(int(k), rate, seed=int(seed.lstrip("s")))
+
+    register("ccsds", _ccsds)
+
     def _sc(j, k, l, z, seed="s0"):
         from .sc import sc_regular
 

@@ -48,7 +48,9 @@ class DualDiagonalPlan:
         qc = spec.qc
         if qc is None:
             raise ValueError(f"{spec.name}: not a QC code")
-        base = qc.base
+        base = getattr(qc, "base", None)
+        if base is None:  # multi-edge QCMultiCode: no structured skeleton
+            raise ValueError(f"{spec.name}: multi-edge QC, no base matrix")
         mb, nb = base.shape
         kb = nb - mb
         pcol = base[:, kb]
@@ -159,7 +161,9 @@ class StaircaseEncoder:
         qc = spec.qc
         if qc is None:
             raise ValueError(f"{spec.name}: not a QC code")
-        base = qc.base
+        base = getattr(qc, "base", None)
+        if base is None:  # multi-edge QCMultiCode: no structured skeleton
+            raise ValueError(f"{spec.name}: multi-edge QC, no base matrix")
         mb, nb = base.shape
         kb = nb - mb
         for d in range(mb):
@@ -230,7 +234,9 @@ class NRCoreExtensionEncoder:
         qc = spec.qc
         if qc is None:
             raise ValueError(f"{spec.name}: not a QC code")
-        base = qc.base
+        base = getattr(qc, "base", None)
+        if base is None:  # multi-edge QCMultiCode: no structured skeleton
+            raise ValueError(f"{spec.name}: multi-edge QC, no base matrix")
         mb, nb = base.shape
         # infer kb: parity section = 4 core + (mb-4) identity columns
         kb = nb - mb

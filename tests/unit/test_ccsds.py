@@ -1,0 +1,116 @@
+"""CCSDS 131.0-B AR4JA tests (codes/ccsds.py).
+
+The protograph is validated three ways: structural (multiplicities,
+degrees, full rank, 4-cycle-free lifting), algebraic (dense systematic
+encoder satisfies H c = 0 through the multi-edge QC expansion), and
+asymptotic (GA-DE thresholds land on the published AR4JA values —
+~0.63/1.4/2.4 dB exact-DE for rates 1/2, 2/3, 4/5; GA reads ~0.05-0.1 dB
+high here, same bias as the (3,6) anchor in test_threshold.py).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ecc_ldpc_tpu.chan.awgn import make_channel
+from ecc_ldpc_tpu.codes import get_code
+from ecc_ldpc_tpu.codes.ccsds import ar4ja, ar4ja_edges
+from ecc_ldpc_tpu.codes.girth import edge_4cycle_count
+from ecc_ldpc_tpu.codes.threshold import de_threshold_ebn0
+from ecc_ldpc_tpu.codes.qc import QCMultiCode, expand_qc_multi
+from ecc_ldpc_tpu.decode.api import choose_graph, get_decoder
+from ecc_ldpc_tpu.encode.gf2 import gf2_rank
+from ecc_ldpc_tpu.encode.structured import build_encoder
+
+
+@pytest.mark.parametrize("rate,j", [("12", 0), ("23", 1), ("45", 3)])
+def test_protograph_structure(rate, j):
+    M = 32
+    spec = ar4ja(rate=rate, M=M)
+    nb = 5 + 2 * j
+    assert spec.n == nb * M and spec.m == 3 * M
+    assert spec.k == 2 * (1 + j) * M
+    # check degrees: jagged-accumulate row 3, the two heavy rows 6 + 4j
+    assert sorted(set(spec.row_deg.tolist())) == [3, 6 + 4 * j]
+    # variable degrees: one deg-1 type, one deg-2, deg-3 pairs + ext pairs
+    # (deg 4), and the punctured deg-6 accumulator state
+    hist = np.bincount(spec.col_deg, minlength=7)
+    assert hist[1] == M and hist[2] == M and hist[6] == M
+    assert hist[3] == 2 * M and hist[4] == 2 * j * M
+    # last block column is the punctured type
+    assert spec.punctured_cols == tuple(range(spec.n - M, spec.n))
+    assert abs(spec.rate - (1 + j) / (2 + j)) < 1e-12
+    # full rank => k = n - rank as the encoder requires
+    assert gf2_rank(spec.dense()) == spec.m
+    # surrogate lifting is 4-cycle-free at every M >= 32
+    br, bc, sh = spec.qc.block_edges()
+    assert edge_4cycle_count(br, bc, sh, M) == 0
+
+
+def test_multiplicities():
+    br, bc = ar4ja_edges(0)
+    cells = {}
+    for r, c in zip(br.tolist(), bc.tolist()):
+        cells[(r, c)] = cells.get((r, c), 0) + 1
+    assert cells == {
+        (1, 0): 1, (2, 0): 1, (1, 1): 1, (2, 1): 2, (0, 2): 1,
+        (1, 3): 1, (2, 3): 2, (0, 4): 2, (1, 4): 3, (2, 4): 1,
+    }
+
+
+def test_qcmulti_rejects_cancelling_parallel_edges():
+    with pytest.raises(ValueError, match="cancel"):
+        QCMultiCode(Z=16, mb=1, nb=1, br=[0, 0], bc=[0, 0], sh=[3, 3])
+
+
+def test_expand_matches_bruteforce_circulants():
+    br, bc = ar4ja_edges(0)
+    spec = ar4ja(rate="12", M=16)
+    _, _, sh = spec.qc.block_edges()
+    from ecc_ldpc_tpu.codes.qc import circulant
+
+    H = np.zeros((3 * 16, 5 * 16), dtype=np.uint8)
+    for r, c, s in zip(br, bc, sh):
+        H[r * 16:(r + 1) * 16, c * 16:(c + 1) * 16] ^= circulant(16, int(s))
+    assert np.array_equal(spec.dense(), H)
+
+
+def test_encode_decode_roundtrip():
+    spec = ar4ja(rate="12", M=32)
+    enc = build_encoder(spec)
+    key = jax.random.PRNGKey(0)
+    msg = jax.random.bernoulli(key, 0.5, (16, spec.k)).astype(jnp.uint8)
+    cw = enc(msg)
+    assert spec.check_syndrome(np.asarray(cw))
+    assert np.array_equal(np.asarray(enc.extract_message(cw)), np.asarray(msg))
+    # noiseless transmit (high SNR): decodes everything, punctured cols
+    # recovered by BP despite LLR 0 at the receiver
+    dec = get_decoder(choose_graph(spec, "minsum/norm:0.8125/50"),
+                      "minsum/norm:0.8125/50")
+    llr = make_channel(spec)(jax.random.PRNGKey(1), cw, 7.0)
+    assert float(np.asarray(llr)[:, spec.punctured_cols].max()) == 0.0
+    out = dec(llr)
+    assert bool(np.asarray(out.ok).all())
+    assert np.array_equal(
+        np.asarray(enc.extract_message(out.bits)), np.asarray(msg))
+
+
+def test_registry_and_standard_sizes():
+    spec = get_code("ccsds/1024/45")
+    assert spec.k == 1024 and spec.qc.Z == 128 and spec.n == 11 * 128
+    # k=16384 graphs construct (decode/DE surface); encoder is gated by
+    # the dense-H size guard with a clear error
+    big = get_code("ccsds/16384/12")
+    assert big.k == 16384 and big.qc.Z == 8192
+    with pytest.raises(ValueError):
+        build_encoder(big)
+
+
+def test_de_thresholds_match_published():
+    # published AR4JA iterative thresholds ~0.63 / 1.4 / 2.4 dB (exact DE);
+    # protograph GA-DE lands within ~0.15 dB, rate-monotone
+    th = {r: de_threshold_ebn0(ar4ja(rate=r, M=32)) for r in ("12", "23", "45")}
+    assert abs(th["12"] - 0.63) < 0.2
+    assert abs(th["23"] - 1.45) < 0.2
+    assert abs(th["45"] - 2.40) < 0.2
+    assert th["12"] < th["23"] < th["45"]
