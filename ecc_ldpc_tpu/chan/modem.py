@@ -12,6 +12,8 @@ compact channel-spec string surface, mirroring the decoder-spec strings:
                   ignores the sweep's Eb/N0 axis (useful for hard-decision
                   decoder studies at a pinned flip rate)
   qpsk            Gray QPSK over complex AWGN (== qam4)
+  8psk            Gray 8PSK over complex AWGN — DVB-S2's primary
+                  modulation; exact bit LLRs from the joint 2-D metric
   qam16, qam64,   Gray square M-QAM over complex AWGN, exact bit LLRs
   qam256          (per-dimension computation, see below)
 
@@ -164,6 +166,102 @@ def qam_awgn_llr(key: jax.Array, bits: jax.Array, ebn0_db, rate,
 
 
 # ---------------------------------------------------------------------------
+# Gray 8PSK over complex AWGN (DVB-S2's primary modulation)
+# ---------------------------------------------------------------------------
+#
+# A PSK ring does not factorize into independent I/Q dimensions, so the
+# exact bit LLRs need the joint 2-D metric — still just a Python loop of
+# logaddexp accumulations over the M=8 points (no [.., M] intermediate).
+# Unit symbol energy holds by construction (points on the unit circle).
+# The bit mapping is Gray around the ring (adjacent symbols differ in one
+# bit), the standard BICM choice; DVB-S2's published 8PSK mapping is also
+# Gray up to a rotation/relabeling that AWGN performance is invariant to.
+
+
+def psk_tables(bits_per_sym: int):
+    """Gray-PSK tables: (xi[M], xq[M], bit_table[M, b], xi_by_bitint[M],
+    xq_by_bitint[M]); point i sits at angle 2*pi*i/M and carries Gray
+    label gray(i), MSB first."""
+    M = 1 << bits_per_sym
+    ang = 2.0 * np.pi * np.arange(M) / M
+    xi, xq = np.cos(ang), np.sin(ang)
+    labels = np.asarray([_gray(i) for i in range(M)], dtype=np.int64)
+    bit_table = np.zeros((M, bits_per_sym), dtype=np.int64)
+    for i in range(M):
+        for j in range(bits_per_sym):
+            bit_table[i, j] = (labels[i] >> (bits_per_sym - 1 - j)) & 1
+    xi_by_bitint = np.zeros(M)
+    xq_by_bitint = np.zeros(M)
+    xi_by_bitint[labels] = xi
+    xq_by_bitint[labels] = xq
+    return xi, xq, bit_table, xi_by_bitint, xq_by_bitint
+
+
+def psk_modulate(bits: jax.Array, M: int):
+    """bits [..., n] -> (xi, xq) [..., n/b]; gather-free compare-mask map."""
+    b = int(round(math.log2(M)))
+    if 1 << b != M:
+        raise ValueError(f"M={M} is not a power of 2")
+    n = bits.shape[-1]
+    if n % b:
+        raise ValueError(f"codeword length {n} not divisible by {b} bits/symbol")
+    _, _, _, lut_i, lut_q = psk_tables(b)
+    sym = bits.reshape(*bits.shape[:-1], n // b, b).astype(jnp.int32)
+    v = jnp.zeros(sym.shape[:-1], jnp.int32)
+    for j in range(b):
+        v = v + sym[..., j] * (1 << (b - 1 - j))
+    xi = jnp.zeros(v.shape, jnp.float32)
+    xq = jnp.zeros(v.shape, jnp.float32)
+    for k in range(M):
+        sel = v == k
+        xi = xi + jnp.float32(lut_i[k]) * sel
+        xq = xq + jnp.float32(lut_q[k]) * sel
+    return xi, xq
+
+
+def psk_bit_llrs(yi: jax.Array, yq: jax.Array, bits_per_sym: int, sigma):
+    """Exact per-bit LLRs for Gray PSK from the joint 2-D metric.
+
+    Returns [..., n_sym, bits_per_sym], positive LLR => bit 0."""
+    xi, xq, bit_table, _, _ = psk_tables(bits_per_sym)
+    inv2s2 = 1.0 / (2.0 * sigma * sigma)
+    neg_inf = jnp.float32(-1e30)
+    acc0 = [jnp.full(yi.shape, neg_inf) for _ in range(bits_per_sym)]
+    acc1 = [jnp.full(yi.shape, neg_inf) for _ in range(bits_per_sym)]
+    for i in range(len(xi)):
+        di = yi - jnp.float32(xi[i])
+        dq = yq - jnp.float32(xq[i])
+        metric = -(di * di + dq * dq) * inv2s2
+        for j in range(bits_per_sym):
+            if bit_table[i, j] == 0:
+                acc0[j] = jnp.logaddexp(acc0[j], metric)
+            else:
+                acc1[j] = jnp.logaddexp(acc1[j], metric)
+    return jnp.stack([a0 - a1 for a0, a1 in zip(acc0, acc1)], axis=-1)
+
+
+def psk_awgn_llr(key: jax.Array, bits: jax.Array, ebn0_db, rate,
+                 M: int) -> jax.Array:
+    """Transmit `bits` as Gray M-PSK over complex AWGN; exact bit LLRs."""
+    b = int(round(math.log2(M)))
+    xi, xq = psk_modulate(bits, M)
+    ebn0 = 10.0 ** (jnp.asarray(ebn0_db, jnp.float32) / 10.0)
+    sigma = jax.lax.rsqrt(2.0 * b * rate * ebn0)  # per-dimension
+    ki, kq = jax.random.split(key)
+    yi = xi + sigma * jax.random.normal(ki, xi.shape, jnp.float32)
+    yq = xq + sigma * jax.random.normal(kq, xq.shape, jnp.float32)
+    llr = psk_bit_llrs(yi, yq, b, sigma)  # [..., n_sym, b]
+    return llr.reshape(*bits.shape)
+
+
+def uncoded_8psk_ber_approx(ebn0_db):
+    """Gray 8PSK uncoded BER, nearest-neighbor approximation:
+    Pb ~ (2/3) Q(sqrt(6 Eb/N0) sin(pi/8)) — tight above ~6 dB."""
+    g = 10.0 ** (jnp.asarray(ebn0_db, jnp.float32) / 10.0)
+    return (2.0 / 3.0) * q_function(jnp.sqrt(6.0 * g) * jnp.sin(jnp.pi / 8.0))
+
+
+# ---------------------------------------------------------------------------
 # Hard-decision channels
 # ---------------------------------------------------------------------------
 
@@ -259,9 +357,11 @@ def parse_channel_spec(spec: str) -> dict:
         return {"kind": "bec", "eps": eps}
     if s in _QAM_NAMES:
         return {"kind": "qam", "M": _QAM_NAMES[s]}
+    if s in ("8psk", "psk8"):
+        return {"kind": "psk", "M": 8}
     raise ValueError(
         f"unknown channel spec {spec!r} — one of bpsk, hard, rayleigh, "
-        f"bsc:P, bec:EPS, qpsk, qam16, qam64, qam256"
+        f"bsc:P, bec:EPS, qpsk, 8psk, qam16, qam64, qam256"
     )
 
 
@@ -298,6 +398,23 @@ def build_channel(code_spec, channel: str = "bpsk") -> Callable:
                 f"{code_spec.name!r} has n={code_spec.n}"
             )
         return lambda key, cw, ebn0_db: qam_awgn_llr(key, cw, ebn0_db, rate, M)
+
+    if kind == "psk":
+        M = kw["M"]
+        b = int(round(math.log2(M)))
+        if masked:
+            raise NotImplementedError(
+                f"{channel!r} on {code_spec.name!r}: PSK mapping over "
+                f"punctured/shortened codes is not supported (the symbol "
+                f"grid would straddle untransmitted bits) — use 'bpsk' "
+                f"or 'hard'"
+            )
+        if code_spec.n % b:
+            raise ValueError(
+                f"{channel!r} needs n divisible by {b} bits/symbol; "
+                f"{code_spec.name!r} has n={code_spec.n}"
+            )
+        return lambda key, cw, ebn0_db: psk_awgn_llr(key, cw, ebn0_db, rate, M)
 
     # hard-output channels share the soft path's mask discipline:
     # elementwise mask arithmetic, never scatter (see chan.awgn.make_channel)

@@ -298,7 +298,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--ebn0", required=True, help="'0:4:0.5' or '1,2,3'")
     sp.add_argument("--channel", default="bpsk",
                     help="channel spec: bpsk | hard | bsc:P | qpsk | "
-                         "qam16 | qam64 (chan/modem.py)")
+                         "8psk | qam16 | qam64 (chan/modem.py)")
     sp.add_argument("--min-frame-errors", type=int, default=100)
     sp.add_argument("--max-frames", type=int, default=1_000_000)
     sp.add_argument("--out", default=None, help="write results JSON here")
