@@ -139,11 +139,21 @@ def run_benchmark(
     iters = kw.get("max_iters", 25)
 
     # Realistic operating-point LLRs (the metric decodes real noisy frames).
-    enc = build_encoder(spec)
+    # Channel is puncture/shorten-aware (make_channel) so rate-matched
+    # codes see their true receiver-side LLR pattern. Families without a
+    # shipped encoder (ccsds k=16384: dense-H guard) use the all-zero
+    # codeword — valid for any linear code and, by the channel's sign
+    # symmetry, decode-cost-identical to a random codeword.
+    from ..chan.awgn import make_channel
+
     key = jax.random.key(0)
-    msg = jax.random.bernoulli(key, 0.5, (batch, spec.k)).astype(jnp.uint8)
-    cw = enc(msg)
-    llr = awgn_llr(jax.random.fold_in(key, 1), cw, ebn0_db, spec.rate)
+    try:
+        enc = build_encoder(spec)
+        msg = jax.random.bernoulli(key, 0.5, (batch, spec.k)).astype(jnp.uint8)
+        cw = enc(msg)
+    except ValueError:
+        cw = jnp.zeros((batch, spec.n), jnp.uint8)
+    llr = make_channel(spec)(jax.random.fold_in(key, 1), cw, ebn0_db)
 
     if profile_dir:
         jax.block_until_ready(dec(llr))  # compile outside the trace

@@ -106,6 +106,13 @@ def make_decoder(
                     "layered decoding needs a QCGraph (compile with "
                     "graph.qc.compile_qc_graph on a QC code spec)"
                 )
+            if not layered_qc.supports(graph, msg_bytes=2):
+                raise ValueError(
+                    f"{graph.name}: outside the Pallas layered kernel's "
+                    f"platform envelope (VMEM budget, or padded sublane "
+                    f"dim Z*R > 1024 which crashes this platform's TPU "
+                    f"compiler) — use backend='xla' (static-roll tier)"
+                )
             msg_dtype = (
                 jnp.float32
                 if layered_qc.supports(graph, msg_bytes=4)

@@ -43,6 +43,11 @@ def supports(
     if llr_bytes is None:
         llr_bytes = msg_bytes  # dispatch sets llr_dtype = msg_dtype
     lanes = max(batch_tile, 128)
+    if graph.Z * (8 // int(np.gcd(graph.Z, 8))) > 1024:
+        # same measured platform limit as layered_qc.supports: Pallas
+        # kernels with padded sublane dim >= 2048 crash the remote TPU
+        # compile helper; the XLA roll tier serves big-Z codes instead
+        return False
     state = graph.Z * lanes * (
         msg_bytes * graph.num_block_edges   # C
         + total_bytes * graph.nb            # total (stale posteriors)

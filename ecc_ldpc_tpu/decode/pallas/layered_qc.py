@@ -75,6 +75,13 @@ def supports(
         llr_bytes = msg_bytes  # dispatch sets llr_dtype = msg_dtype
     lanes = max(batch_tile, 128)  # lane dim pads to 128 either way
     R = 8 // int(np.gcd(graph.Z, 8))  # replica packing factor (see below)
+    if graph.Z * R > 1024:
+        # measured platform limit (2026-08-18, ccsds family): the remote
+        # TPU compile helper exits 1 on this kernel at padded sublane dim
+        # 2048 (Z=1024 compiles and runs, Z=2048 crashes; VMEM budget is
+        # not the binding constraint). The XLA static-roll tier serves
+        # big-Z codes — auto dispatch routes there.
+        return False
     state = graph.Z * R * lanes * (
         msg_bytes * graph.num_block_edges  # C (msg_dtype)
         + 4 * graph.nb                     # total (f32)
