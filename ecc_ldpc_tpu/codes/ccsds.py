@@ -89,6 +89,18 @@ def ar4ja(k: int | None = None, rate: str = "12", *, M: int | None = None,
         M, rem = divmod(int(k), 2 * (1 + j))
         if rem:
             raise ValueError(f"k={k} not divisible by 2(1+j)={2 * (1 + j)}")
+        if k not in _STANDARD_K:
+            # the construction works at any lifting, but CCSDS 131.0-B only
+            # defines k in _STANDARD_K — warn so e.g. ccsds/2048/12 is not
+            # mistaken for a standard configuration (explicit M= callers
+            # are research/test use and stay silent)
+            import warnings
+
+            warnings.warn(
+                f"k={k} is not a CCSDS 131.0-B block length {_STANDARD_K}; "
+                "building a non-standard AR4JA code with the same protograph",
+                stacklevel=2,
+            )
     M = int(M)
     k = 2 * (1 + j) * M
     if M < 8 or M % 8:
@@ -101,7 +113,15 @@ def ar4ja(k: int | None = None, rate: str = "12", *, M: int | None = None,
     # >= 128). Tiny-M residuals are pigeonhole-unavoidable at rate 4/5
     # (two 18-edge check rows over Z=16), as in 5G NR's smallest liftings.
     if M >= 32:
-        assert edge_4cycle_count(br, bc, sh, M) == 0, "shift optimizer residual"
+        residual = int(edge_4cycle_count(br, bc, sh, M))
+        if residual:
+            # survives `python -O` (a bare assert would not); a user seed
+            # that leaves the optimizer stuck must fail loudly, not build
+            # a short-cycle-ridden code under the ccsds/ name
+            raise ValueError(
+                f"AR4JA shift optimizer left {residual} lifted 4-cycles at "
+                f"M={M}, seed={seed}; pick another /s<seed>"
+            )
     nb = 5 + 2 * j
     qcm = QCMultiCode(Z=M, mb=3, nb=nb, br=br, bc=bc, sh=sh)
     name = f"ccsds/{k}/{rate}" + (f"/s{seed}" if seed else "")
