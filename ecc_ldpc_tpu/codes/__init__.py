@@ -7,6 +7,10 @@ families the target configs require: 802.11n / WiMAX QC-LDPC, DVB-S2, 5G NR.
 
 from .spec import CodeSpec
 from .alist import load_alist, save_alist, loads_alist, dumps_alist
+from .matrixio import (
+    load_matrix, loads_matrix, load_matlab_sparse, loads_matlab_sparse,
+    dumps_matlab_sparse, load_dense, loads_dense, dumps_dense,
+)
 from .gallager import gallager_36
 from .mackay import mackay_1008
 from .qc import QCCode, expand_qc
@@ -18,6 +22,9 @@ from .registry import get_code, list_codes
 
 __all__ = [
     "CodeSpec", "load_alist", "save_alist", "loads_alist", "dumps_alist",
+    "load_matrix", "loads_matrix", "load_matlab_sparse",
+    "loads_matlab_sparse", "dumps_matlab_sparse", "load_dense",
+    "loads_dense", "dumps_dense",
     "gallager_36", "mackay_1008", "QCCode", "expand_qc", "ieee80211n",
     "wimax", "dvbs2", "nr5g", "get_code", "list_codes",
 ]

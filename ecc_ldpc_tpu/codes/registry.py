@@ -38,9 +38,28 @@ def get_code(spec_str: str) -> CodeSpec:
         from .alist import load_alist
 
         return load_alist(spec_str[len("alist:"):])
+    if spec_str.startswith("mat:"):
+        from .matrixio import load_matlab_sparse
+
+        return load_matlab_sparse(spec_str[len("mat:"):])
+    if spec_str.startswith("dense:"):
+        from .matrixio import load_dense
+
+        return load_dense(spec_str[len("dense:"):])
+    if spec_str.startswith("file:"):
+        from .matrixio import load_matrix
+
+        return load_matrix(spec_str[len("file:"):])
     parts = spec_str.split("/")
     head, args = parts[0], parts[1:]
     if head not in _REGISTRY:
+        import os
+
+        if os.path.exists(spec_str):
+            # bare path: sniff alist / MATLAB-triplet / dense 0/1 text
+            from .matrixio import load_matrix
+
+            return load_matrix(spec_str)
         raise KeyError(f"unknown code {head!r}; known: {list_codes()}")
     return _REGISTRY[head](*args)
 
