@@ -94,3 +94,74 @@ def test_wimax_z_scaling_preserves_structure():
     for n in [576, 1056, 2304]:
         spec = wimax(n, "12")
         DualDiagonalPlan.from_spec(spec)  # raises if skeleton broken
+
+
+def test_80211n_all_tables_recalled_structure():
+    """All 12 (rate, Z) tables are standard-recalled (VERDICT r1 item 2):
+    pin per-table invariants — shape, provenance, shift range, the (1,0,1)
+    special column, staircase, 4-cycle freedom, and spot shift values from
+    the recalled tables so accidental edits are caught."""
+    from ecc_ldpc_tpu.codes.girth import block_4cycle_violations
+    from ecc_ldpc_tpu.codes.ieee80211n import _REPAIRS
+
+    spots = {  # (n, rate) -> ((row, col, shift), ...)
+        (648, "12"): ((1, 0, 22), (11, 9, 5)),
+        (648, "23"): ((0, 0, 25), (7, 16, 1)),
+        (648, "34"): ((0, 0, 16), (5, 18, 1)),
+        (648, "56"): ((0, 0, 17), (3, 20, 1)),
+        (1296, "12"): ((0, 0, 40), (11, 12, 1)),
+        (1296, "23"): ((0, 0, 39), (7, 16, 1)),
+        (1296, "34"): ((0, 0, 39), (5, 18, 1)),
+        (1296, "56"): ((0, 0, 48), (3, 20, 1)),
+        (1944, "12"): ((0, 0, 57), (11, 12, 1)),
+        (1944, "23"): ((0, 0, 61), (7, 16, 1)),
+        (1944, "34"): ((0, 0, 48), (5, 18, 1)),
+        (1944, "56"): ((0, 0, 13), (3, 20, 1)),
+    }
+    for n, Z in ((648, 27), (1296, 54), (1944, 81)):
+        for rate, R in N_RATES.items():
+            spec = ieee80211n(n, rate)
+            mb = round(24 * (1 - R))
+            kb = 24 - mb
+            base = spec.qc.base
+            assert base.shape == (mb, 24)
+            assert spec.name.startswith(f"80211n.{n}.{rate}.recalled")
+            assert ("repaired" in spec.name) == ((Z, rate) in _REPAIRS)
+            assert base.max() < Z
+            col = base[:, kb]
+            nz = np.flatnonzero(col >= 0)
+            assert list(col[nz]) == [1, 0, 1]
+            for d in range(mb - 1):
+                assert list(np.flatnonzero(base[:, kb + 1 + d] >= 0)) == [d, d + 1]
+                assert base[d, kb + 1 + d] == 0 and base[d + 1, kb + 1 + d] == 0
+            assert not block_4cycle_violations(base, Z)
+            for r, c, s in spots[(n, rate)]:
+                assert base[r, c] == s, (n, rate, r, c, base[r, c])
+
+
+def test_wimax_r12_recalled_table():
+    """The recalled 802.16e rate-1/2 table: published structure invariants
+    plus the scaling-sweep girth evidence (4-cycle-free at Z0=96 and at
+    every floor-scaled Z except the single documented Z=28 cycle)."""
+    from ecc_ldpc_tpu.codes.girth import block_4cycle_violations
+    from ecc_ldpc_tpu.codes.wimax import _base_table, _scale
+
+    base = _base_table("12")
+    assert base.shape == (12, 24)
+    # special column (7, 0, 7) with the middle zero at row 5
+    col = base[:, 12]
+    nz = np.flatnonzero(col >= 0)
+    assert list(nz) == [0, 5, 11] and list(col[nz]) == [7, 0, 7]
+    # published degree structure: rows {6,7}, info columns {3,6}
+    assert set((base >= 0).sum(1)) == {6, 7}
+    assert set((base[:, :12] >= 0).sum(0)) == {3, 6}
+    # spot shifts from the recalled table
+    assert base[0, 1] == 94 and base[6, 2] == 95 and base[11, 0] == 43
+    for Z in range(24, 97, 4):
+        v = block_4cycle_violations(_scale(base, Z, "floor"), Z)
+        assert len(v) == (1 if Z == 28 else 0), (Z, v)
+
+
+def test_wimax_r12_names_recalled():
+    assert wimax(1152, "12").name == "wimax.1152.12.recalled"
+    assert "surrogate" in wimax(1152, "23A").name
