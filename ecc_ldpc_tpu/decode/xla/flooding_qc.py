@@ -98,14 +98,26 @@ def decode_flooding_qc(
     beta: float = 0.0,
     max_iters: int = 25,
     early_term: bool = True,
+    constrain=None,
 ) -> DecodeResult:
-    """llr: f32 [B, n] -> DecodeResult. kind: 'minsum' | 'spa' | 'minstar'."""
+    """llr: f32 [B, n] -> DecodeResult. kind: 'minsum' | 'spa' | 'minstar'.
+
+    constrain: optional fn applied to every [*, Z, B] decode-state array
+    (llr/total/C) — dist.graph_parallel passes a sharding constraint that
+    partitions the circulant axis over a 'graph' mesh axis, turning this
+    decoder into the edge-sharded (sequence-parallel analog) tier: the
+    program is rolls + elementwise math + reductions, so GSPMD inserts
+    the boundary collectives itself and the arithmetic is unchanged
+    (bit-identical to the unsharded decode).
+    """
     cn_op = _CN_QC[kind]
     B = llr.shape[0]
     Z, nb = graph.Z, graph.nb
-    llr3 = llr.T.astype(jnp.float32).reshape(nb, Z, B)
+    if constrain is None:
+        constrain = lambda x: x  # noqa: E731
+    llr3 = constrain(llr.T.astype(jnp.float32).reshape(nb, Z, B))
     total0 = llr3
-    C0 = jnp.zeros((graph.num_block_edges, Z, B), jnp.float32)
+    C0 = constrain(jnp.zeros((graph.num_block_edges, Z, B), jnp.float32))
 
     rows = [graph.layer_edges(i) for i in graph.layer_order]
 
@@ -138,7 +150,7 @@ def decode_flooding_qc(
             for j, (e, col, s) in enumerate(edges):
                 acc = acc.at[col].add(jnp.roll(Cnew[j], s, axis=0))
                 newC = newC.at[e].set(Cnew[j])
-        return acc, newC, fail > 0.5
+        return constrain(acc), constrain(newC), fail > 0.5
 
     if early_term:
         done0 = ~syndrome_fail(total0)

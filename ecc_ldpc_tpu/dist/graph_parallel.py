@@ -10,22 +10,29 @@ set; for codes that fit (all standards families), the batch-parallel mode
 is throughput-optimal (zero cross-chip traffic in the hot loop) and remains
 the production path — SURVEY.md §5.7 explains the trade.
 
-Implementation notes:
-  - check-sharding makes every cross-device quantity a dense [n, B] psum;
-    no boundary bookkeeping, and the collective is overlappable by XLA.
-  - the per-device CN update reuses the oracle cn_ops on the local padded
-    edge arrays, so graph-parallel results are BIT-IDENTICAL to the
-    single-device flooding decoder for any shard count (tests/dist/).
-  - a Pallas remote-DMA ring (pltpu.make_async_remote_copy) is the
-    kernel-level upgrade path for boundary-only exchange; the psum form is
-    the idiomatic XLA baseline.
-  - PLATFORM CAVEAT: the per-shard VN scatter-add below is validated on
-    CPU meshes (tests/dist/); this environment's TPU compiler crashes on
-    scatter/gather chains, so a TPU deployment of graph-parallel decode
-    would swap the local update for the incidence-matmul or QC-roll forms
-    used by the batch-parallel kernels (round-2 work if a workload ever
-    needs a single codeword spread over chips — none of the standards
-    codes do).
+TWO TIERS (VERDICT r1 item 3):
+
+1. make_qc_graph_parallel_decoder — the TPU-legal production form for QC
+   codes (every standards family). The circulant (Z) axis of all decode
+   state [*, Z, B] is partitioned over the 'graph' mesh axis with GSPMD
+   sharding constraints on the roll-form flooding program
+   (decode/xla/flooding_qc.py) — rolls + elementwise math + reductions
+   only, NO gathers and NO scatter-add, so it sidesteps the platform
+   gather/scatter compiler bug entirely and XLA inserts the boundary
+   collective-permutes for the rolls itself (the idiomatic
+   sequence-parallel recipe: annotate shardings, let the compiler place
+   collectives). Each device owns a true Z-slice of every VN and CN
+   block: n/D variable nodes and m/D checks per device. Arithmetic is
+   UNCHANGED by partitioning (slice/roll layout changes only), so results
+   are bit-identical to the single-device roll decoder for any D.
+
+2. make_graph_parallel_decoder — the generic check-sharded form for
+   unstructured codes. Its local VN update is a scatter-add, which this
+   platform's TPU compiler cannot lower (measured) — it remains the
+   CPU-mesh / interpret tier; QC codes should use tier 1.
+
+A Pallas remote-DMA ring (pltpu.make_async_remote_copy, dist/ring.py) is
+the kernel-level upgrade path for boundary-only exchange.
 """
 from __future__ import annotations
 
@@ -43,6 +50,55 @@ from ..decode.xla.cn_ops import cn_minsum, cn_spa
 from ..graph.compile import CompiledGraph, compile_graph
 
 P = jax.sharding.PartitionSpec
+
+
+def make_qc_graph_parallel_decoder(
+    spec_or_graph,
+    mesh: jax.sharding.Mesh,
+    axis: str = "graph",
+    *,
+    kind: str = "minsum",
+    alpha: float = 1.0,
+    beta: float = 0.0,
+    max_iters: int = 25,
+    early_term: bool = True,
+    jit: bool = True,
+) -> Callable:
+    """decode(llr [B, n]) -> DecodeResult with the circulant axis sharded.
+
+    TPU-legal graph-parallel decode for QC codes (module docstring tier 1):
+    the roll-form flooding decoder under a GSPMD constraint that partitions
+    the Z axis of llr/total/C over mesh[axis]. kind: minsum|spa|minstar.
+    Requires Z % mesh.shape[axis] == 0. Bit-identical to the unsharded
+    decode_flooding_qc for any device count (tests/dist/).
+    """
+    from ..decode.xla.flooding_qc import decode_flooding_qc
+    from ..graph.qc import QCGraph, compile_qc_graph
+
+    graph = (
+        spec_or_graph if isinstance(spec_or_graph, QCGraph)
+        else compile_qc_graph(spec_or_graph)
+    )
+    D = mesh.shape[axis]
+    if graph.Z % D:
+        raise ValueError(
+            f"Z={graph.Z} does not divide over {D} devices on '{axis}'"
+        )
+    # with_sharding_constraint requires Auto mesh axes; jax.make_mesh
+    # defaults to Explicit ones — rebuild over the same devices
+    mesh = jax.sharding.Mesh(mesh.devices, mesh.axis_names)
+    zshard = jax.sharding.NamedSharding(mesh, P(None, axis, None))
+
+    def constrain(x):
+        return jax.lax.with_sharding_constraint(x, zshard)
+
+    def decode(llr):
+        return decode_flooding_qc(
+            graph, llr, kind=kind, alpha=alpha, beta=beta,
+            max_iters=max_iters, early_term=early_term, constrain=constrain,
+        )
+
+    return jax.jit(decode) if jit else decode
 
 
 @dataclasses.dataclass(frozen=True)

@@ -77,3 +77,63 @@ def test_graph_parallel_shard_count_invariant(code):
     assert ok.mean() > 0.8
     for bits, _ in outs[1:]:
         assert np.array_equal(outs[0][0][ok], bits[ok])
+
+
+# --- TPU-legal Z-sharded tier (VERDICT r1 item 3) ---------------------------
+
+from ecc_ldpc_tpu.codes import get_code
+from ecc_ldpc_tpu.decode.xla.flooding_qc import decode_flooding_qc
+from ecc_ldpc_tpu.dist.graph_parallel import make_qc_graph_parallel_decoder
+from ecc_ldpc_tpu.encode.structured import build_encoder
+from ecc_ldpc_tpu.graph.qc import compile_qc_graph
+
+
+@pytest.fixture(scope="module")
+def qc_code():
+    spec = get_code("wimax/576/12")  # Z=24: divides 2, 4, 8
+    return spec, build_encoder(spec)
+
+
+@pytest.mark.parametrize("kind", ["minsum", "spa"])
+def test_qc_zsharded_bit_identical(qc_code, kind):
+    """The GSPMD Z-sharded decode is BIT-identical to the unsharded
+    roll-form decoder for every shard count (partitioning changes layout,
+    not arithmetic)."""
+    spec, enc = qc_code
+    graph = compile_qc_graph(spec)
+    key = jax.random.key(3)
+    msg = jax.random.bernoulli(key, 0.5, (8, spec.k)).astype(jnp.uint8)
+    cw = enc(msg)
+    llr = awgn_llr(jax.random.fold_in(key, 7), cw, 2.0, spec.rate)
+    ref = decode_flooding_qc(graph, llr, kind=kind, alpha=0.9, max_iters=12)
+    for D in (2, 4, 8):
+        dec = make_qc_graph_parallel_decoder(
+            spec, _mesh(D), kind=kind, alpha=0.9, max_iters=12
+        )
+        r = dec(llr)
+        assert np.array_equal(np.asarray(r.bits), np.asarray(ref.bits)), D
+        assert np.array_equal(np.asarray(r.ok), np.asarray(ref.ok)), D
+        assert np.array_equal(
+            np.asarray(r.iterations), np.asarray(ref.iterations)
+        ), D
+
+
+def test_qc_zsharded_noiseless_and_errors(qc_code):
+    spec, enc = qc_code
+    dec = make_qc_graph_parallel_decoder(spec, _mesh(8), max_iters=15,
+                                         alpha=0.8125)
+    key = jax.random.key(11)
+    msg = jax.random.bernoulli(key, 0.5, (8, spec.k)).astype(jnp.uint8)
+    cw = enc(msg)
+    llr0 = (1.0 - 2.0 * cw.astype(jnp.float32)) * 8.0
+    r0 = dec(llr0)
+    assert np.all(np.asarray(r0.ok))
+    assert np.array_equal(np.asarray(r0.bits), np.asarray(cw))
+    assert np.asarray(r0.iterations).max() == 0
+    assert spec.check_syndrome(np.asarray(r0.bits))
+
+
+def test_qc_zsharded_rejects_indivisible():
+    spec = get_code("80211n/648/12")  # Z=27: does not divide 8
+    with pytest.raises(ValueError, match="divide"):
+        make_qc_graph_parallel_decoder(spec, _mesh(8))
