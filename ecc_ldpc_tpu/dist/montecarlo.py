@@ -116,7 +116,7 @@ def make_sharded_step(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(), P("snr"), P()),
-        out_specs=(P("snr"), P("snr"), P("snr")),
+        out_specs=(P(), P(), P()),
         # pallas_call inside shard_map trips the vma type checker (its
         # ShapeDtypeStruct outputs carry no vma annotation)
         check_vma=False,
@@ -143,7 +143,12 @@ def make_sharded_step(
 
         local = jax.lax.map(one_point, jnp.arange(s_local))  # [s_local, 3]
         local = jax.lax.psum(local, "batch")
-        return local[:, 0], local[:, 1], local[:, 2]
+        # gather the per-point counters over 'snr' so the returned arrays
+        # are REPLICATED: in a multi-process mesh an snr-sharded output is
+        # not fully addressable from any one host and np.asarray would
+        # raise; the counters are a few ints, replication is free
+        full = jax.lax.all_gather(local, "snr", axis=0, tiled=True)
+        return full[:, 0], full[:, 1], full[:, 2]
 
     return step
 
