@@ -41,6 +41,7 @@ def make_decoder(
     backend: str = "auto",
     jit: bool = True,
     cleanup: bool = False,
+    cn: str = "minsum",
 ) -> Callable[[jax.Array], DecodeResult]:
     """Build `decode(llr[B, n]) -> DecodeResult` for one graph.
 
@@ -57,11 +58,16 @@ def make_decoder(
         inner = make_decoder(
             graph, kind, alpha=alpha, beta=beta, theta=theta, quant=quant,
             max_iters=max_iters, early_term=early_term, backend=backend,
-            jit=False,
+            jit=False, cn=cn,
         )
         decode = with_cleanup(inner, graph)
         return jax.jit(decode) if jit else decode
 
+    if cn != "minsum" and kind != "layered":
+        raise KeyError(
+            f"cn={cn!r} selects the layered sweep's check-node rule; for "
+            f"flooding use kind='spa'/'minstar' directly"
+        )
     if quant is not None:
         # fixed-point message emulation lives in the layered oracle tier
         # (static rolls — TPU-safe); the Pallas kernel's quantization is
@@ -121,7 +127,7 @@ def make_decoder(
             return layered_qc.make_layered_pallas_decoder(
                 graph, alpha=alpha, beta=beta, max_iters=max_iters,
                 early_term=early_term, jit=jit, msg_dtype=msg_dtype,
-                llr_dtype=msg_dtype,
+                llr_dtype=msg_dtype, kind=cn,
             )
         from .pallas.loop import make_pallas_decoder
 
@@ -178,7 +184,7 @@ def make_decoder(
             backend = "xla"
         return make_decoder(
             graph, kind, alpha=alpha, beta=beta, max_iters=max_iters,
-            early_term=early_term, backend=backend, jit=jit,
+            early_term=early_term, backend=backend, jit=jit, cn=cn,
         )
     if backend == "xla-mm":
         from .xla import dense_mm
@@ -238,7 +244,7 @@ def make_decoder(
 
         return make_layered_decoder(
             graph, alpha=alpha, beta=beta, max_iters=max_iters,
-            early_term=early_term, jit=jit, quant=quant,
+            early_term=early_term, jit=jit, quant=quant, cn=cn,
         )
     else:
         raise KeyError(f"unknown decoder kind {kind!r}")
@@ -277,6 +283,8 @@ def parse_decoder_spec(spec: str) -> dict:
             kw["quant"] = (bits, float(step_s))  # fixed-point emulation
         elif p.startswith("sched:"):
             sched = p[6:]
+        elif p in ("spa", "minstar", "minsum") and kind == "layered":
+            kw["cn"] = p  # layered sweep with an exact-BP check-node rule
         elif p == "noet":
             kw["early_term"] = False
         elif p == "cleanup":
@@ -371,11 +379,10 @@ def choose_graph(code_spec, decoder_spec: str, backend: str | None = None):
     QC codes decode through the QC block view for every kind the roll
     tiers serve (layered REQUIRES it; minsum/spa/minstar are TPU-safe
     only there — the expanded gather form crashes the platform's TPU
-    compiler, see decode/xla/dense_mm.py). Explicit backend overrides
-    that only exist on the expanded graph win: 'xla-mm' always routes
-    there, and 'pallas' keeps the expanded graph for spa/minstar (the
-    fused incidence-matmul kernel) while QC-roll kinds stay on the QC
-    view. Non-QC codes always use the expanded graph."""
+    compiler, see decode/xla/dense_mm.py); the Pallas flooding-QC kernel
+    now serves all three kinds on that view too. The only explicit
+    override that needs the expanded graph is 'xla-mm' (incidence
+    matmuls). Non-QC codes always use the expanded graph."""
     from ..graph import compile_graph, compile_qc_graph
 
     kind = parse_decoder_spec(decoder_spec)["kind"]
@@ -387,6 +394,4 @@ def choose_graph(code_spec, decoder_spec: str, backend: str | None = None):
         return compile_graph(code_spec)
     if backend == "xla-mm":
         return compile_graph(code_spec)
-    if backend == "pallas" and kind in ("spa", "minstar"):
-        return compile_graph(code_spec)  # fused_mm kernel serves these
     return compile_qc_graph(code_spec)

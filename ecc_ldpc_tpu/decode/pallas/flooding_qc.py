@@ -39,6 +39,7 @@ def _round_up(x: int, m: int) -> int:
 def supports(
     graph: QCGraph, batch_tile: int = 128, msg_bytes: int = 2,
     total_bytes: int = 2, acc_bytes: int = 2, llr_bytes: int | None = None,
+    kind: str = "minsum",
 ) -> bool:
     if llr_bytes is None:
         llr_bytes = msg_bytes  # dispatch sets llr_dtype = msg_dtype
@@ -54,6 +55,7 @@ def supports(
         + acc_bytes * graph.nb              # acc
         + llr_bytes * graph.nb              # llr in (llr_dtype)
         + 1 * graph.nb                      # bits out (int8)
+        + (4 * graph.dcb_max if kind == "minstar" else 0)  # fwd scratch
     )
     # 84 MB cap: unlike the layered kernel, this kernel's recompute-heavy
     # sweep makes Mosaic allocate tens of MB of register spill slots on
@@ -65,13 +67,28 @@ def supports(
     return graph.Z % 8 == 0 and state <= 84 * 1024 * 1024
 
 
+_SPA_TANH_CLIP = 1.0 - 1e-7
+
+
+def _boxplus(x, y):
+    # twin of decode/xla/flooding_qc._boxplus
+    mag = jnp.minimum(jnp.abs(x), jnp.abs(y))
+    sgn = jnp.where((x < 0) ^ (y < 0), -1.0, 1.0)
+    corr = jnp.log1p(jnp.exp(-jnp.abs(x + y))) - jnp.log1p(
+        jnp.exp(-jnp.abs(x - y))
+    )
+    return sgn * mag + corr
+
+
 def _kernel(
     ge_be_ref, be_col_ref, be_shift_ref, be_shiftb_ref,
     llr_ref, bits_ref, ok_ref, iters_ref,
-    total_s, acc_s, C_s,
-    *, groups: tuple, nb: int, Z: int, Bt: int,
+    total_s, acc_s, C_s, *extra_s,
+    groups: tuple, nb: int, Z: int, Bt: int,
     alpha: float, beta: float, max_iters: int, early_term: bool,
+    kind: str = "minsum",
 ):
+    fwd_s = extra_s[0] if kind == "minstar" else None
     total_s[:] = llr_ref[:].astype(total_s.dtype)
     C_s[:] = jnp.zeros_like(C_s)
 
@@ -103,6 +120,8 @@ def _kernel(
                 inf = jnp.full((Z, Bt), jnp.inf, jnp.float32)
                 zero = jnp.zeros((Z, Bt), jnp.float32)
                 min1, min2, negcnt, hardcnt = inf, inf, zero, zero
+                ltacc = zero   # spa: running log|tanh| sum
+                fwd = None     # minstar: box-plus forward prefix
                 for si in range(deg):
                     e = ge_be_ref[base + si]
                     rolled = pltpu.roll(
@@ -110,21 +129,39 @@ def _kernel(
                         be_shiftb_ref[e], 0,
                     )
                     slab = rolled - C_s[e].astype(jnp.float32)
-                    a = jnp.abs(slab)
-                    min2 = jnp.minimum(min2, jnp.maximum(min1, a))
-                    min1 = jnp.minimum(min1, a)
-                    negcnt = negcnt + (slab < 0).astype(jnp.float32)
+                    if kind == "minsum":
+                        a = jnp.abs(slab)
+                        min2 = jnp.minimum(min2, jnp.maximum(min1, a))
+                        min1 = jnp.minimum(min1, a)
+                        negcnt = negcnt + (slab < 0).astype(jnp.float32)
+                    elif kind == "spa":
+                        a = jnp.abs(slab)
+                        ltacc = ltacc + jnp.log(jnp.tanh(
+                            jnp.clip(a, 1e-10, 40.0) * 0.5
+                        ))
+                        negcnt = negcnt + (slab < 0).astype(jnp.float32)
+                    else:  # minstar: sign rides inside box-plus
+                        fwd = slab if si == 0 else _boxplus(fwd, slab)
+                        fwd_s[si] = fwd
                     if track:
                         hardcnt = hardcnt + (rolled < 0).astype(jnp.float32)
                 if track:
                     hpar = hardcnt - 2.0 * jnp.floor(hardcnt * 0.5)
                     fail = jnp.maximum(fail, jnp.max(hpar, axis=0, keepdims=True))
-                par = negcnt - 2.0 * jnp.floor(negcnt * 0.5)
-                sgn_prod = 1.0 - 2.0 * par
-                mag1 = jnp.maximum(alpha * jnp.minimum(min1, _MAG_CAP) - beta, 0.0)
-                mag2 = jnp.maximum(alpha * jnp.minimum(min2, _MAG_CAP) - beta, 0.0)
+                if kind != "minstar":
+                    par = negcnt - 2.0 * jnp.floor(negcnt * 0.5)
+                    sgn_prod = 1.0 - 2.0 * par
+                if kind == "minsum":
+                    mag1 = jnp.maximum(alpha * jnp.minimum(min1, _MAG_CAP) - beta, 0.0)
+                    mag2 = jnp.maximum(alpha * jnp.minimum(min2, _MAG_CAP) - beta, 0.0)
 
-                for si in range(deg):
+                # pass 2: minstar iterates BACKWARD for the running suffix
+                order = (
+                    range(deg - 1, -1, -1) if kind == "minstar"
+                    else range(deg)
+                )
+                bwd = None
+                for si in order:
                     e = ge_be_ref[base + si]
                     col = be_col_ref[e]
                     # recompute the extrinsic slab from the STALE totals
@@ -133,9 +170,30 @@ def _kernel(
                     v = pltpu.roll(
                         total_s[col].astype(jnp.float32), be_shiftb_ref[e], 0
                     ) - Cold
-                    sv = jnp.where(v < 0, -1.0, 1.0)
-                    mag = jnp.where(jnp.abs(v) == min1, mag2, mag1)
-                    Cnew = (sgn_prod * sv) * mag
+                    if kind == "minsum":
+                        sv = jnp.where(v < 0, -1.0, 1.0)
+                        mag = jnp.where(jnp.abs(v) == min1, mag2, mag1)
+                        Cnew = (sgn_prod * sv) * mag
+                    elif kind == "spa":
+                        a = jnp.abs(v)
+                        lt = jnp.log(jnp.tanh(
+                            jnp.clip(a, 1e-10, 40.0) * 0.5
+                        ))
+                        tt = jnp.minimum(jnp.exp(ltacc - lt), _SPA_TANH_CLIP)
+                        mag = jnp.log1p(tt) - jnp.log1p(-tt)
+                        sv = jnp.where(v < 0, -1.0, 1.0)
+                        Cnew = (sgn_prod * sv) * mag
+                    else:  # minstar
+                        if deg == 1:
+                            out = jnp.full((Z, Bt), 1e9, jnp.float32)
+                        elif si == deg - 1:
+                            out = fwd_s[deg - 2]
+                        elif si == 0:
+                            out = bwd
+                        else:
+                            out = _boxplus(fwd_s[si - 1], bwd)
+                        Cnew = jnp.clip(out, -_MAG_CAP, _MAG_CAP)
+                        bwd = v if si == deg - 1 else _boxplus(bwd, v)
                     if track:
                         Cnew = jnp.where(keep, Cold, Cnew)
                     Cq = Cnew.astype(C_s.dtype).astype(jnp.float32)
@@ -209,14 +267,26 @@ def make_flooding_pallas_decoder(
     total_dtype=jnp.float32,
     llr_dtype=jnp.float32,
     acc_dtype=jnp.float32,
+    kind: str = "minsum",
 ):
     """decode(llr [B, n]) -> DecodeResult via the fused flooding QC kernel.
 
-    acc_dtype=bf16 quantizes the posterior accumulation (needed to fit
-    DVB-S2 at full lanes); f32 is bit-exact with the oracle twin."""
+    kind: 'minsum' (alpha/beta), or the exact-BP rules 'spa' / 'minstar'
+    (VERDICT r1 item 5 — the oracle-grade algorithms in the native tier;
+    spa uses a running log|tanh| accumulator, minstar keeps box-plus
+    forward prefixes in a [dcb, Z, Bt] scratch). alpha/beta are ignored
+    by the exact kinds. acc_dtype=bf16 quantizes the posterior
+    accumulation (needed to fit DVB-S2 at full lanes); f32 is bit-exact
+    with the oracle twin for minsum and decision-parity for spa/minstar
+    (their oracle twins reduce in a different but mathematically equal
+    order)."""
     if graph.Z % 8 != 0:
         raise ValueError(
             f"{graph.name}: pallas flooding-qc kernel needs Z % 8 == 0"
+        )
+    if kind not in ("minsum", "spa", "minstar"):
+        raise KeyError(
+            f"flooding kernel kind must be minsum/spa/minstar, got {kind!r}"
         )
     Z, nb = graph.Z, graph.nb
     BE = graph.num_block_edges
@@ -237,6 +307,7 @@ def make_flooding_pallas_decoder(
     kern = functools.partial(
         _kernel, groups=groups, nb=nb, Z=Z, Bt=batch_tile,
         alpha=alpha, beta=beta, max_iters=max_iters, early_term=early_term,
+        kind=kind,
     )
     lanes = max(batch_tile, 128)
     state_bytes = Z * lanes * (
@@ -244,6 +315,7 @@ def make_flooding_pallas_decoder(
         + jnp.dtype(total_dtype).itemsize * nb
         + jnp.dtype(acc_dtype).itemsize * nb
         + jnp.dtype(llr_dtype).itemsize * nb  # llr window (aliased w/ bits)
+        + (4 * graph.dcb_max if kind == "minstar" else 0)
     )
     vmem_limit = min(state_bytes + (1 << 23), 127 * 1024 * 1024)
 
@@ -281,7 +353,10 @@ def make_flooding_pallas_decoder(
                 pltpu.VMEM((nb, Z, batch_tile), total_dtype),
                 pltpu.VMEM((nb, Z, batch_tile), acc_dtype),
                 pltpu.VMEM((BE, Z, batch_tile), msg_dtype),
-            ],
+            ] + (
+                [pltpu.VMEM((graph.dcb_max, Z, batch_tile), jnp.float32)]
+                if kind == "minstar" else []
+            ),
         )
         def one_chunk(llr_chunk):
             return pl.pallas_call(

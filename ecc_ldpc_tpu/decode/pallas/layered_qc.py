@@ -157,6 +157,7 @@ def _kernel(
     *, groups: tuple, nb: int, Z: int, Bt: int, R: int, Rp: int,
     alpha: float, beta: float, max_iters: int, early_term: bool,
     dup_free: bool, sign_mode: str, fast_mag: bool = True, ab_ref=None,
+    kind: str = "minsum",
 ):
     # ab_ref: optional SMEM f32 [2, max_iters] per-iteration (alpha_t,
     # beta_t) schedule (learned NOMS, learn/noms.py). When present the
@@ -414,7 +415,151 @@ def _kernel(
             fail = jnp.maximum(fail, (flipacc0 != 0).astype(jnp.float32))
         return replica_max(fail)
 
-    sweep = sweep_delta if dup_free else sweep_classic
+    _SPA_TANH_CLIP = 1.0 - 1e-7
+
+    def _boxplus(x, y):
+        # twin of decode/xla/flooding_qc._boxplus (same jnp expression, so
+        # interpret mode is bit-exact with the oracle)
+        mag = jnp.minimum(jnp.abs(x), jnp.abs(y))
+        sgn = jnp.where((x < 0) ^ (y < 0), -1.0, 1.0)
+        corr = jnp.log1p(jnp.exp(-jnp.abs(x + y))) - jnp.log1p(
+            jnp.exp(-jnp.abs(x - y))
+        )
+        return sgn * mag + corr
+
+    def sweep_exact(frozen, track, t=0):
+        """One layered iteration with an EXACT-BP check-node rule
+        (kind='spa': tanh rule via a running log|tanh| accumulator;
+        kind='minstar': box-plus via forward prefixes in vrow + a running
+        backward suffix, with the extrinsic slab RECOMPUTED in pass 2 by
+        re-rolling the still-unwritten posterior — so neither kind needs
+        any memory beyond the minsum sweep's). Alignment-carrying delta
+        form; dup-free graphs only (wrapper guards). Oracle twins:
+        decode/xla/layered.py cn='spa'/'minstar' (same op order)."""
+        keep = (frozen > 0.5) if track else None
+        fail = jnp.zeros((Z, Bt), jnp.float32)
+        flipacc0 = jnp.zeros((Z, Bt), jnp.int32)  # see sweep_delta
+        for deg, nrows, off in groups:
+            def layer(li, carry, deg=deg, off=off):
+                if track:
+                    fail, flipacc = carry
+                else:
+                    fail = carry
+                base = off + li * deg
+                zero = jnp.zeros((Z, Bt), jnp.float32)
+                hardcnt = zero
+                ltacc = zero          # spa
+                fwd = None            # minstar
+                sgnacc = jnp.zeros((Z, Bt), jnp.int32)
+                # pass 1: roll posteriors into this layer's alignment and
+                # accumulate the CN statistic (log|tanh| sum, or box-plus
+                # forward prefixes stored in vrow)
+                for si in range(deg):
+                    e = ge_be_ref[base + si]
+                    rolled = pltpu.roll(total_s[be_col_ref[e]],
+                                        ge_delta_ref[base + si], 0)
+                    if track:
+                        hardcnt = hardcnt + (rolled < 0).astype(jnp.float32)
+                    slab = rolled - C_s[e].astype(jnp.float32)
+                    if kind == "spa":
+                        if track:
+                            vrow_s[si] = rolled
+                        else:
+                            vrow_s[si] = slab
+                        a = jnp.abs(slab)
+                        lt = jnp.log(jnp.tanh(
+                            jnp.clip(a, 1e-10, 40.0) * 0.5
+                        ))
+                        ltacc = ltacc + lt
+                        sgnacc = sgnacc ^ jax.lax.bitcast_convert_type(
+                            slab, jnp.int32
+                        )
+                    else:  # minstar: sign rides inside box-plus
+                        fwd = slab if si == 0 else _boxplus(fwd, slab)
+                        vrow_s[si] = fwd
+                if track:
+                    hpar = hardcnt - 2.0 * jnp.floor(hardcnt * 0.5)
+                    fail = jnp.maximum(fail, hpar)
+
+                # pass 2: emit messages, posterior back in this layer's
+                # alignment. minstar iterates BACKWARD for the running
+                # suffix; reads of total/C at step si precede their writes.
+                order = range(deg) if kind == "spa" else range(deg - 1, -1, -1)
+                bwd = None
+                for si in order:
+                    e = ge_be_ref[base + si]
+                    col = be_col_ref[e]
+                    Cold = C_s[e].astype(jnp.float32)
+                    if kind == "spa":
+                        if track:
+                            rolledv = vrow_s[si]
+                            v = rolledv - Cold
+                        else:
+                            v = vrow_s[si]
+                        a = jnp.abs(v)
+                        lt = jnp.log(jnp.tanh(
+                            jnp.clip(a, 1e-10, 40.0) * 0.5
+                        ))
+                        tt = jnp.minimum(jnp.exp(ltacc - lt), _SPA_TANH_CLIP)
+                        mag = jnp.log1p(tt) - jnp.log1p(-tt)
+                        # sign product XOR'd onto the non-negative mag
+                        flip = (
+                            sgnacc ^ jax.lax.bitcast_convert_type(
+                                v, jnp.int32
+                            )
+                        ) & _SGN_MASK
+                        Cnew = jax.lax.bitcast_convert_type(
+                            jax.lax.bitcast_convert_type(mag, jnp.int32)
+                            | flip,
+                            jnp.float32,
+                        )
+                    else:  # minstar
+                        rolledv = pltpu.roll(total_s[col],
+                                             ge_delta_ref[base + si], 0)
+                        v = rolledv - Cold
+                        if deg == 1:
+                            out = jnp.full((Z, Bt), 1e9, jnp.float32)
+                        elif si == deg - 1:
+                            out = vrow_s[deg - 2]
+                        elif si == 0:
+                            out = bwd
+                        else:
+                            out = _boxplus(vrow_s[si - 1], bwd)
+                        Cnew = jnp.clip(out, -_MAG_CAP, _MAG_CAP)
+                        bwd = v if si == deg - 1 else _boxplus(bwd, v)
+                    if track:
+                        Cnew = jnp.where(keep, Cold, Cnew)
+                    Cb = Cnew.astype(C_s.dtype)
+                    if track:
+                        Cq = Cb.astype(jnp.float32)
+                        neww = jnp.where(keep, rolledv, v + Cq)
+                        flipacc = flipacc | (
+                            (jax.lax.bitcast_convert_type(neww, jnp.int32)
+                             ^ jax.lax.bitcast_convert_type(
+                                 rolledv, jnp.int32))
+                            & _SGN_MASK
+                        )
+                        total_s[col] = neww
+                    else:
+                        total_s[col] = v + Cnew
+                    C_s[e] = Cb
+                if track:
+                    return fail, flipacc
+                return fail
+            if track:
+                fail, flipacc0 = jax.lax.fori_loop(
+                    0, nrows, layer, (fail, flipacc0)
+                )
+            else:
+                fail = jax.lax.fori_loop(0, nrows, layer, fail)
+        if track:
+            fail = jnp.maximum(fail, (flipacc0 != 0).astype(jnp.float32))
+        return replica_max(fail)
+
+    if kind == "minsum":
+        sweep = sweep_delta if dup_free else sweep_classic
+    else:
+        sweep = sweep_exact  # wrapper guarantees dup_free
 
     if early_term:
         done0 = 1.0 - syndrome_fail()
@@ -469,8 +614,17 @@ def make_layered_pallas_decoder(
     llr_dtype=jnp.float32,
     sign_mode: str = "bitxor",
     pack: int | str = "auto",
+    kind: str = "minsum",
 ):
     """decode(llr [B, n]) -> DecodeResult via the fused layered kernel.
+
+    kind: 'minsum' (alpha/beta-normalized, the benchmark path), or the
+    exact-BP rules 'spa' / 'minstar' — the oracle-grade algorithms in the
+    fused-VMEM native tier (VERDICT r1 item 5), same memory footprint as
+    minsum (spa uses a running log|tanh| accumulator; minstar keeps
+    box-plus forward prefixes in the vrow scratch and re-rolls the
+    posterior in pass 2). Exact kinds need a dup-free graph and scalar
+    alpha/beta (which they ignore).
 
     sign_mode: 'count' tallies negative slabs per check (compare+add per
     edge, sign conventions of (x < 0)); 'bitxor' accumulates the CN sign
@@ -522,6 +676,15 @@ def make_layered_pallas_decoder(
     groups, ge_be_np, ge_delta_np, col_pre_np, col_post_np, dup_free = (
         sweep_layout(graph)
     )
+    if kind not in ("minsum", "spa", "minstar"):
+        raise KeyError(f"layered kernel kind must be minsum/spa/minstar, "
+                       f"got {kind!r}")
+    if kind != "minsum" and not dup_free:
+        raise NotImplementedError(
+            f"layered kind={kind!r} needs a dup-free graph (every "
+            f"standards family qualifies); {graph.name} has intra-layer "
+            f"duplicate block-columns"
+        )
     ge_be = jnp.asarray(ge_be_np)
     # all shift tables scale by R for the packed layout
     ge_delta = jnp.asarray(ge_delta_np * R)
@@ -536,6 +699,11 @@ def make_layered_pallas_decoder(
     # constructible) take the capped branch like the XLA oracle does
     min_deg = min((deg for deg, _, _ in groups), default=0)
     per_iter = not (np.isscalar(alpha) and np.isscalar(beta))
+    if kind != "minsum" and per_iter:
+        raise ValueError(
+            f"per-iteration alpha/beta schedules apply to minsum only "
+            f"(kind={kind!r} is exact BP — nothing to normalize)"
+        )
     if per_iter:
         ab = jnp.stack([
             jnp.broadcast_to(jnp.asarray(alpha, jnp.float32), (max_iters,)),
@@ -546,6 +714,7 @@ def make_layered_pallas_decoder(
         groups=groups, nb=nb, Z=Zp, Bt=batch_tile, R=R, Rp=Rp,
         alpha=alpha, beta=beta, max_iters=max_iters, early_term=early_term,
         dup_free=dup_free, sign_mode=sign_mode, fast_mag=min_deg >= 2,
+        kind=kind,
     )
     if per_iter:
         def kern(ge, bc, bs, bsb, gd, cp, cpo, ab_r, *rest):

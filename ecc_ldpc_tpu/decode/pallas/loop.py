@@ -23,9 +23,10 @@ def make_pallas_decoder(
     **kw,
 ):
     if isinstance(graph, QCGraph):
-        if kind != "minsum":
+        if kind not in ("minsum", "spa", "minstar"):
             raise KeyError(
-                f"pallas QC flooding kernel supports minsum, not {kind!r}"
+                f"pallas QC flooding kernel supports minsum/spa/minstar, "
+                f"not {kind!r}"
             )
         import jax.numpy as jnp
 
@@ -34,13 +35,13 @@ def make_pallas_decoder(
         dt = (
             jnp.float32
             if flooding_qc.supports(graph, msg_bytes=4, total_bytes=4,
-                                    acc_bytes=4)
+                                    acc_bytes=4, kind=kind)
             else jnp.bfloat16
         )
         return flooding_qc.make_flooding_pallas_decoder(
             graph, alpha=alpha, beta=beta, max_iters=max_iters,
             early_term=early_term, jit=jit, msg_dtype=dt, total_dtype=dt,
-            llr_dtype=dt, acc_dtype=dt, **kw,
+            llr_dtype=dt, acc_dtype=dt, kind=kind, **kw,
         )
     return _make_fused_mm(
         graph, kind, alpha=alpha, beta=beta, max_iters=max_iters,

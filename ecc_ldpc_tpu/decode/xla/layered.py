@@ -61,6 +61,44 @@ def _cn_minsum_axis0(V, alpha: float, beta: float, signbit: bool = False):
     return (sgn_prod * s) * mag
 
 
+def _cn_spa_seq(V, signbit: bool = False):
+    """Exact sum-product (tanh rule) over axis 0 of [d, Z, B], leave-one-out
+    via a SEQUENTIAL log|tanh| accumulation — the op order of the Pallas
+    layered kernel's running ltacc (bit-exact twin in f32), unlike
+    flooding_qc._cn_spa_qc's jnp.sum. Magnitude uses
+    2*arctanh(t) = log1p(t) - log1p(-t), the form Mosaic can lower."""
+    a = jnp.abs(V)
+    lt = jnp.log(jnp.tanh(jnp.clip(a, 1e-10, 40.0) * 0.5))
+    ltacc = lt[0]
+    for j in range(1, V.shape[0]):
+        ltacc = ltacc + lt[j]
+    loo = ltacc[None] - lt
+    t = jnp.minimum(jnp.exp(loo), _SPA_TANH_CLIP)
+    mag = jnp.log1p(t) - jnp.log1p(-t)
+    negb = jnp.signbit(V) if signbit else V < 0
+    cnt = jnp.sum(negb.astype(jnp.float32), axis=0, keepdims=True)
+    sgn_prod = 1.0 - 2.0 * (cnt - 2.0 * jnp.floor(cnt * 0.5))
+    sv = jnp.where(negb, -1.0, 1.0)
+    return (sgn_prod * sv) * mag
+
+
+_SPA_TANH_CLIP = 1.0 - 1e-7  # keep arctanh finite (twin of flooding_qc)
+
+
+def _cn_for(kind: str):
+    """CN update for the layered sweep; alpha/beta apply to minsum only
+    (spa/minstar are exact BP — no normalization)."""
+    if kind == "minsum":
+        return None  # caller uses _cn_minsum_axis0 with alpha/beta
+    if kind == "spa":
+        return _cn_spa_seq
+    if kind == "minstar":
+        from .flooding_qc import _cn_minstar_qc
+
+        return lambda V, signbit=False: _cn_minstar_qc(V, 1.0, 0.0)
+    raise KeyError(f"layered cn must be minsum/spa/minstar, got {kind!r}")
+
+
 def _syndrome_fail(graph: QCGraph, total):
     """fail [B]: any unsatisfied check, via static rolls."""
     hard = (total < 0).astype(jnp.float32)  # [nb, Z, B]
@@ -84,9 +122,14 @@ def decode_layered(
     early_term: bool = True,
     sign_mode: str = "bitxor",
     quant=None,
+    cn: str = "minsum",
 ) -> DecodeResult:
     """llr: f32 [B, n] -> DecodeResult. One iteration = one full sweep of
-    all mb layers. sign_mode='bitxor' selects IEEE signbit sign semantics
+    all mb layers. cn selects the check-node rule: 'minsum' (alpha/beta
+    normalized/offset), or the exact-BP forms 'spa' (tanh rule) /
+    'minstar' (box-plus) — layered schedules of the oracle-grade
+    algorithms, twins of the Pallas kernel's kinds (VERDICT r1 item 5).
+    sign_mode='bitxor' selects IEEE signbit sign semantics
     (matches the Pallas kernel's integer XOR sign accumulation). The
     kernel can only realize bitxor on dup-free graphs (its classic
     fallback sweep counts negatives), so the oracle applies the same
@@ -104,6 +147,13 @@ def decode_layered(
     B = llr.shape[0]
     Z, nb = graph.Z, graph.nb
     dup_free = graph.intra_layer_dup_free
+    cn_exact = _cn_for(cn)  # None for minsum
+    if cn != "minsum" and not dup_free:
+        raise NotImplementedError(
+            f"layered cn={cn!r} is implemented for dup-free graphs "
+            f"(every standards family); {graph.name} has intra-layer "
+            f"duplicate block-columns — use flooding spa/minstar"
+        )
     if not dup_free:
         sign_mode = "count"  # mirror the kernel's bitxor-needs-dup-free rule
     alphas = jnp.broadcast_to(jnp.asarray(alpha, jnp.float32), (max_iters,))
@@ -143,8 +193,11 @@ def decode_layered(
             Vt = jnp.stack(
                 [r - C[e] for r, (e, col, s) in zip(rolled, edges)]
             )  # [d, Z, B]
-            Cnew = _cn_minsum_axis0(Vt, alpha, beta,
-                                    signbit=sign_mode == "bitxor")
+            if cn_exact is None:
+                Cnew = _cn_minsum_axis0(Vt, alpha, beta,
+                                        signbit=sign_mode == "bitxor")
+            else:
+                Cnew = cn_exact(Vt, signbit=sign_mode == "bitxor")
             if quant is not None:
                 Cnew = quantize(Cnew, *quant)
             # posterior update. Dup-free graphs use the set form
@@ -223,6 +276,7 @@ def make_layered_decoder(
     jit: bool = True,
     sign_mode: str = "bitxor",
     quant=None,
+    cn: str = "minsum",
 ):
     from ...graph.qc import QCGraph as _QC
 
@@ -235,7 +289,7 @@ def make_layered_decoder(
     def decode(llr):
         return decode_layered(
             graph, llr, alpha=alpha, beta=beta, max_iters=max_iters,
-            early_term=early_term, sign_mode=sign_mode, quant=quant,
+            early_term=early_term, sign_mode=sign_mode, quant=quant, cn=cn,
         )
 
     return jax.jit(decode) if jit else decode

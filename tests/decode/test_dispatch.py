@@ -49,8 +49,11 @@ def test_choose_graph_routing():
     assert isinstance(choose_graph(spec, "layered/10"), QCGraph)
     assert type(choose_graph(spec, "minsum/10", backend="xla-mm")) \
         is CompiledGraph
-    assert type(choose_graph(spec, "spa/10", backend="pallas")) \
-        is CompiledGraph
+    # pallas spa/minstar now ride the flooding-QC kernel on the QC view
+    # (VERDICT r1 item 5); the expanded fused_mm route remains for
+    # unstructured codes only
+    assert isinstance(choose_graph(spec, "spa/10", backend="pallas"),
+                      QCGraph)
     assert isinstance(choose_graph(spec, "minsum/10", backend="pallas"),
                       QCGraph)
     plain = codes.get_code("mackay1008")
