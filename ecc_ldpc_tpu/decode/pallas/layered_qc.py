@@ -157,8 +157,16 @@ def _kernel(
     *, groups: tuple, nb: int, Z: int, Bt: int, R: int, Rp: int,
     alpha: float, beta: float, max_iters: int, early_term: bool,
     dup_free: bool, sign_mode: str, fast_mag: bool = True, ab_ref=None,
-    kind: str = "minsum",
+    kind: str = "minsum", carry_mode: str = "scratch",
 ):
+    # carry_mode: fixed-iteration-path row-value storage. 'scratch' stores the
+    # extrinsic slab in the vrow VMEM scratch (the long-standing form);
+    # 'ssa' carries the slabs as SSA values across the two passes; and
+    # 'ssa_abs' additionally carries |slab| so pass 2 skips the abs
+    # recompute. All three are bit-identical; they differ only in where
+    # Mosaic keeps the row (registers vs spill), measured in
+    # experiments/r2_opt.py. track mode always uses the scratch (the
+    # freeze path needs the rolled posterior restored bit-exactly).
     # ab_ref: optional SMEM f32 [2, max_iters] per-iteration (alpha_t,
     # beta_t) schedule (learned NOMS, learn/noms.py). When present the
     # magnitude always takes the capped branch (matching the XLA oracle's
@@ -227,6 +235,7 @@ def _kernel(
                 zero = jnp.zeros((Z, Bt), jnp.float32)
                 min1, min2, negcnt, hardcnt = inf, inf, zero, zero
                 sgnacc = jnp.zeros((Z, Bt), jnp.int32)
+                slabs, absl = [], []  # SSA carry variants (see carry_mode)
                 for si in range(deg):
                     e = ge_be_ref[base + si]
                     rolled = pltpu.roll(total_s[be_col_ref[e]],
@@ -238,8 +247,13 @@ def _kernel(
                         hardcnt = hardcnt + (rolled < 0).astype(jnp.float32)
                     slab = rolled - C_s[e].astype(jnp.float32)
                     if not track:
-                        vrow_s[si] = slab
+                        if carry_mode == "scratch":
+                            vrow_s[si] = slab
+                        else:
+                            slabs.append(slab)
                     a = jnp.abs(slab)
+                    if not track and carry_mode == "ssa_abs":
+                        absl.append(a)
                     min2 = jnp.minimum(min2, jnp.maximum(min1, a))
                     min1 = jnp.minimum(min1, a)
                     if bitxor:
@@ -285,9 +299,14 @@ def _kernel(
                         rolledv = vrow_s[si]
                         Cold = C_s[e].astype(jnp.float32)
                         v = rolledv - Cold
-                    else:
+                    elif carry_mode == "scratch":
                         v = vrow_s[si]
-                    mag = jnp.where(jnp.abs(v) == min1, mag2, mag1)
+                    else:
+                        v = slabs[si]
+                    if not track and carry_mode == "ssa_abs":
+                        mag = jnp.where(absl[si] == min1, mag2, mag1)
+                    else:
+                        mag = jnp.where(jnp.abs(v) == min1, mag2, mag1)
                     if bitxor:
                         # sign(Cnew) = sign-product XOR sign(v), applied by
                         # OR-ing the flip bit onto the non-negative mag
@@ -615,6 +634,7 @@ def make_layered_pallas_decoder(
     sign_mode: str = "bitxor",
     pack: int | str = "auto",
     kind: str = "minsum",
+    carry: str = "scratch",
 ):
     """decode(llr [B, n]) -> DecodeResult via the fused layered kernel.
 
@@ -714,7 +734,7 @@ def make_layered_pallas_decoder(
         groups=groups, nb=nb, Z=Zp, Bt=batch_tile, R=R, Rp=Rp,
         alpha=alpha, beta=beta, max_iters=max_iters, early_term=early_term,
         dup_free=dup_free, sign_mode=sign_mode, fast_mag=min_deg >= 2,
-        kind=kind,
+        kind=kind, carry_mode=carry,
     )
     if per_iter:
         def kern(ge, bc, bs, bsb, gd, cp, cpo, ab_r, *rest):

@@ -43,8 +43,10 @@ def test_spec_parsing():
         get_decoder(g, "layered/q:5:0.5/25", backend="pallas")
 
 
-def _fer(dec_spec, ebn0=2.0, batch=512):
-    ecc = build_ecc("80211n/1944/12", dec_spec)
+def _fer(dec_spec, ebn0=2.4, batch=256):
+    # n=648 at a matched operating point: same ordering property as the
+    # n=1944 original at ~6x less fast-suite time
+    ecc = build_ecc("80211n/648/12", dec_spec)
     key = jax.random.key(0)
     km, kc = jax.random.split(key)
     msg = jax.random.bernoulli(km, 0.5, (batch, ecc.k)).astype(jnp.uint8)

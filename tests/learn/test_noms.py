@@ -53,7 +53,11 @@ def test_shipped_schedule_loads_and_decodes():
     p = load_schedule("dvbs2_64800_12_T25")
     assert p.iters == 25
     assert np.all(np.asarray(p.alphas) > 0.5)
-    spec = get_code("dvbs2/64800/12")
+    # drive the schedule arrays through the layered decoder on a SMALL
+    # code (a 64800-scale CPU compile took ~95 s of the fast suite; the
+    # schedule/decoder pairing at full scale is pinned by the TPU-measured
+    # numbers in the schedule JSON and tests/ber)
+    spec = get_code("80211n/648/12")
     qg = compile_qc_graph(spec)
     dec = make_layered_decoder(qg, alpha=p.alphas[:3], beta=p.betas[:3],
                                max_iters=3, early_term=False,
@@ -77,7 +81,7 @@ def test_schedule_decoder_spec_string():
 
 def test_training_reduces_loss(code):
     params, losses = train_noms(
-        "80211n/648/12", iters=5, steps=30, batch=32, seed=1,
+        "80211n/648/12", iters=5, steps=16, batch=32, seed=1,
         ebn0_range=(1.5, 2.5),
     )
     assert params.iters == 5

@@ -151,9 +151,9 @@ def test_replica_packed_matches_oracle(Z, R):
     CW = 8 * R  # batch_tile=8 below
     cw, llr = _tx(spec, enc, CW + 5, 3.0, seed=5)
     for et in (True, False):
-        a = make_layered_decoder(qg, alpha=0.8125, max_iters=10,
+        a = make_layered_decoder(qg, alpha=0.8125, max_iters=6,
                                  early_term=et)(llr)
-        b = make_layered_pallas_decoder(qg, alpha=0.8125, max_iters=10,
+        b = make_layered_pallas_decoder(qg, alpha=0.8125, max_iters=6,
                                         early_term=et, batch_tile=8)(llr)
         assert np.array_equal(np.asarray(a.bits), np.asarray(b.bits)), et
         assert np.array_equal(np.asarray(a.ok), np.asarray(b.ok)), et
@@ -172,9 +172,9 @@ def test_over_packed_matches_oracle(Z, R):
     enc = DualDiagonalEncoder(spec)
     cw, llr = _tx(spec, enc, 8 * R + 3, 3.0, seed=9)
     for et in (True, False):
-        a = make_layered_decoder(qg, alpha=0.8125, max_iters=10,
+        a = make_layered_decoder(qg, alpha=0.8125, max_iters=6,
                                  early_term=et)(llr)
-        b = make_layered_pallas_decoder(qg, alpha=0.8125, max_iters=10,
+        b = make_layered_pallas_decoder(qg, alpha=0.8125, max_iters=6,
                                         early_term=et, batch_tile=8,
                                         pack=R)(llr)
         assert np.array_equal(np.asarray(a.bits), np.asarray(b.bits)), et

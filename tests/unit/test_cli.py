@@ -36,29 +36,24 @@ def test_missing_required_args():
         main(["sweep"])  # --ebn0 required
 
 
-def test_cli_learn_writes_loadable_schedule(tmp_path):
+def test_cli_learn_writes_loadable_schedule_and_band(tmp_path):
+    """One training run covers both contracts: the output is a loadable
+    schedule, AND '--ebn0 lo:hi' is a training BAND (endpoints) — it must
+    record ebn0_range_db [1.8, 2.6], not collapse to a 1-dB grid.
+    (Merged from two tests: each compiled its own training step, ~45 s of
+    fast-suite time for one extra assertion.)"""
+    import json
+
     from ecc_ldpc_tpu.cli.main import main
     from ecc_ldpc_tpu.learn import load_schedule
 
     out = str(tmp_path / "sched.json")
-    rc = main(["learn", "--code", "80211n/648/12", "--ebn0", "2.0,2.6",
+    rc = main(["learn", "--code", "80211n/648/12", "--ebn0", "1.8:2.6",
                "--iters", "3", "--steps", "4", "--batch", "16",
                "--out", out])
     assert rc == 0
     p = load_schedule(out)
     assert p.iters == 3
-
-
-def test_cli_learn_band_parsing(tmp_path):
-    """'lo:hi' is a training BAND (endpoints), not a 1-dB-step grid —
-    '1.8:2.6' must record ebn0_range_db [1.8, 2.6], not collapse to 1.8."""
-    import json
-
-    from ecc_ldpc_tpu.cli.main import main
-
-    out = str(tmp_path / "s.json")
-    main(["learn", "--code", "80211n/648/12", "--ebn0", "1.8:2.6",
-          "--iters", "2", "--steps", "2", "--batch", "8", "--out", out])
     d = json.load(open(out))
     assert d["trained"]["ebn0_range_db"] == [1.8, 2.6]
 

@@ -26,11 +26,11 @@ def test_uncoded_bpsk_matches_closed_form():
 def test_coded_point_and_ordering():
     """An LDPC code needs less SNR at FER 0.3 than at FER 0.02, and both
     sit in the code's known waterfall region."""
-    kw = dict(bracket=(0.0, 6.0), tol_db=0.1, batch=256,
-              max_frames_per_probe=8192)
-    hi = find_operating_point("80211n/648/12", "layered/norm:0.8125/25",
+    kw = dict(bracket=(0.0, 6.0), tol_db=0.15, batch=256,
+              max_frames_per_probe=4096)
+    hi = find_operating_point("80211n/648/12", "layered/norm:0.8125/15",
                               target_fer=0.3, **kw)
-    lo = find_operating_point("80211n/648/12", "layered/norm:0.8125/25",
+    lo = find_operating_point("80211n/648/12", "layered/norm:0.8125/15",
                               target_fer=0.02, **kw)
     assert hi.ebn0_db < lo.ebn0_db
     assert 0.5 < hi.ebn0_db < 3.5 and 1.0 < lo.ebn0_db < 4.5
