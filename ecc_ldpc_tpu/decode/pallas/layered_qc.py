@@ -158,7 +158,17 @@ def _kernel(
     alpha: float, beta: float, max_iters: int, early_term: bool,
     dup_free: bool, sign_mode: str, fast_mag: bool = True, ab_ref=None,
     kind: str = "minsum", carry_mode: str = "scratch",
+    static_tables=None, iter_unroll: int = 1,
 ):
+    # static_tables: optional (ge_be, be_col, ge_delta, col_pre, col_post)
+    # NUMPY tables (delta/pre/post already R-scaled). When present the
+    # minsum delta sweep unrolls the row loops at trace time: every edge
+    # id and shift becomes a compile-time constant, so zero-delta rolls
+    # (the DVB-S2 staircase: ~28% of r=1/2 edge-visits) disappear
+    # entirely, the per-edge SMEM scalar loads go away, and Mosaic can
+    # schedule across row boundaries (disjoint static scratch indices
+    # prove independence). Bit-identical to the fori form — same ops in
+    # the same order, minus rolls by literal zero.
     # carry_mode: fixed-iteration-path row-value storage. 'scratch' stores the
     # extrinsic slab in the vrow VMEM scratch (the long-standing form);
     # 'ssa' carries the slabs as SSA values across the two passes; and
@@ -173,6 +183,11 @@ def _kernel(
     # unconditional form), read per sweep; the scalar path is untouched.
     bitxor = sign_mode == "bitxor" and dup_free
     total_s[:] = llr_ref[:].astype(jnp.float32)
+    # NOTE (measured 2026-08-19): specializing sweep 0 to a "C is
+    # known-zero" form (skipping the zero-fill and the old-message
+    # read/cast/subtract) LOSES ~11% on the DVB-S2 flagship — the extra
+    # unrolled sweep body degrades Mosaic scheduling far more than the
+    # saved ops gain. Keep the uniform-sweep form.
     C_s[:] = jnp.zeros_like(C_s)
 
     def replica_max(x):
@@ -190,6 +205,10 @@ def _kernel(
         """f32 [Zp, Bt]: 1.0 on every sublane of a replica whose codeword
         has some unsatisfied check (posteriors, variable-aligned)."""
         fail = jnp.zeros((Z, Bt), jnp.float32)
+        # stays SMEM-streamed even in rows='static' builds: an unrolled
+        # syndrome (measured 2026-08-19) inflates Mosaic register-spill
+        # slots by ~9 MB and busts the 128 MB VMEM cap at DVB-S2 scale,
+        # for a ~1% best-case win (it runs once per decode).
         for deg, nrows, off in groups:
             def layer(li, fail, deg=deg, off=off):
                 acc = jnp.zeros((Z, Bt), jnp.float32)
@@ -202,11 +221,32 @@ def _kernel(
             fail = jax.lax.fori_loop(0, nrows, layer, fail)
         return replica_max(fail)
 
-    def rotate(off_ref):
+    def rotate(off_ref, off_np):
+        if off_np is not None:
+            for i in range(nb):
+                if int(off_np[i]):
+                    total_s[i] = pltpu.roll(total_s[i], int(off_np[i]), 0)
+            return
         def rot(i, c):
             total_s[i] = pltpu.roll(total_s[i], off_ref[i], 0)
             return c
         jax.lax.fori_loop(0, nb, rot, 0)
+
+    def edge_at(li, si, deg, off):
+        """(edge id, column, roll fn) for sweep slot si of row li — SMEM
+        scalar reads on the fori path, compile-time constants (with
+        zero rolls elided) on the static path."""
+        if static_tables is None:
+            e = ge_be_ref[off + li * deg + si]
+            dlt = ge_delta_ref[off + li * deg + si]
+            return e, be_col_ref[e], lambda x: pltpu.roll(x, dlt, 0)
+        ge_np, col_np, dlt_np = static_tables[:3]
+        gi = off + li * deg + si
+        e = int(ge_np[gi])
+        d = int(dlt_np[gi])
+        rollp = (lambda x: x) if d == 0 else (
+            lambda x, d=d: pltpu.roll(x, d, 0))
+        return e, int(col_np[e]), rollp
 
     def sweep_delta(frozen, track, t=0):
         """One layered iteration, alignment-carrying form (1 roll/edge).
@@ -228,7 +268,6 @@ def _kernel(
                     fail, flipacc = carry
                 else:
                     fail = carry
-                base = off + li * deg
                 # pass 1: roll posteriors into this layer's alignment,
                 # running two-min / sign / parity over extrinsic slabs
                 inf = jnp.full((Z, Bt), jnp.inf, jnp.float32)
@@ -237,9 +276,8 @@ def _kernel(
                 sgnacc = jnp.zeros((Z, Bt), jnp.int32)
                 slabs, absl = [], []  # SSA carry variants (see carry_mode)
                 for si in range(deg):
-                    e = ge_be_ref[base + si]
-                    rolled = pltpu.roll(total_s[be_col_ref[e]],
-                                        ge_delta_ref[base + si], 0)
+                    e, col, rollp = edge_at(li, si, deg, off)
+                    rolled = rollp(total_s[col])
                     if track:
                         # scratch holds the rolled POSTERIOR so frozen
                         # lanes restore it bit-exactly in pass 2
@@ -247,12 +285,13 @@ def _kernel(
                         hardcnt = hardcnt + (rolled < 0).astype(jnp.float32)
                     slab = rolled - C_s[e].astype(jnp.float32)
                     if not track:
-                        if carry_mode == "scratch":
+                        if carry_mode in ("scratch", "scratch_abs"):
                             vrow_s[si] = slab
                         else:
                             slabs.append(slab)
                     a = jnp.abs(slab)
-                    if not track and carry_mode == "ssa_abs":
+                    if not track and carry_mode in ("ssa_abs",
+                                                    "scratch_abs"):
                         absl.append(a)
                     min2 = jnp.minimum(min2, jnp.maximum(min1, a))
                     min1 = jnp.minimum(min1, a)
@@ -293,17 +332,17 @@ def _kernel(
                 # pass 2: emit messages; posterior written back IN THIS
                 # LAYER'S ALIGNMENT as slab + Cnew — no roll
                 for si in range(deg):
-                    e = ge_be_ref[base + si]
-                    col = be_col_ref[e]
+                    e, col, _ = edge_at(li, si, deg, off)
                     if track:
                         rolledv = vrow_s[si]
                         Cold = C_s[e].astype(jnp.float32)
                         v = rolledv - Cold
-                    elif carry_mode == "scratch":
+                    elif carry_mode in ("scratch", "scratch_abs"):
                         v = vrow_s[si]
                     else:
                         v = slabs[si]
-                    if not track and carry_mode == "ssa_abs":
+                    if not track and carry_mode in ("ssa_abs",
+                                                    "scratch_abs"):
                         mag = jnp.where(absl[si] == min1, mag2, mag1)
                     else:
                         mag = jnp.where(jnp.abs(v) == min1, mag2, mag1)
@@ -350,7 +389,13 @@ def _kernel(
                 if track:
                     return fail, flipacc
                 return fail
-            if track:
+            if static_tables is not None:
+                for li in range(nrows):
+                    if track:
+                        fail, flipacc0 = layer(li, (fail, flipacc0))
+                    else:
+                        fail = layer(li, fail)
+            elif track:
                 fail, flipacc0 = jax.lax.fori_loop(
                     0, nrows, layer, (fail, flipacc0)
                 )
@@ -583,7 +628,8 @@ def _kernel(
     if early_term:
         done0 = 1.0 - syndrome_fail()
         if dup_free:
-            rotate(col_pre_ref)
+            rotate(col_pre_ref, None if static_tables is None
+                   else static_tables[3])
         iters0 = jnp.zeros((Z, Bt), jnp.float32)
 
         def body(carry):
@@ -603,14 +649,27 @@ def _kernel(
     else:
         # pure fixed-iteration benchmark mode
         if dup_free:
-            rotate(col_pre_ref)
-        jax.lax.fori_loop(
-            0, max_iters, lambda t, c: (sweep(None, False, t), c)[1], 0
-        )
+            rotate(col_pre_ref, None if static_tables is None
+                   else static_tables[3])
+        # iter_unroll: U sweeps per fori body (Mosaic can software-
+        # pipeline across the sweep boundary). Per-iteration schedules
+        # (ab_ref) need the true t, so they keep U=1 (wrapper guards).
+        U = max(1, iter_unroll) if ab_ref is None else 1
+        nfull, tail = divmod(max_iters, U)
+
+        def bodyU(t, c):
+            for _ in range(U):
+                sweep(None, False, t)
+            return c
+
+        jax.lax.fori_loop(0, nfull, bodyU, 0)
+        for _ in range(tail):
+            sweep(None, False, 0)
         iters = jnp.full((Z, Bt), float(max_iters), jnp.float32)
 
     if dup_free:
-        rotate(col_post_ref)
+        rotate(col_post_ref, None if static_tables is None
+               else static_tables[4])
     bits_ref[:] = (total_s[:] < 0).astype(bits_ref.dtype)
     # truthful ok: one final posterior syndrome over the emitted bits.
     # Sublane z*R + r at z = 0 holds replica r, so the first R (<= Rp)
@@ -635,6 +694,8 @@ def make_layered_pallas_decoder(
     pack: int | str = "auto",
     kind: str = "minsum",
     carry: str = "scratch",
+    rows: str = "auto",
+    iter_unroll: int = 1,
 ):
     """decode(llr [B, n]) -> DecodeResult via the fused layered kernel.
 
@@ -653,6 +714,14 @@ def make_layered_pallas_decoder(
     counts as negative; the oracle's sign_mode='bitxor' matches
     bit-exactly). 'bitxor' applies only on the dup-free delta path and
     silently degrades to 'count' on graphs with intra-layer duplicates.
+
+    rows: 'static' unrolls the minsum row sweeps at trace time (edge ids
+    and shifts become compile-time constants; zero-delta rolls elide;
+    Mosaic schedules across row boundaries) — measured +17% on the
+    DVB-S2 flagship, bit-identical on real TPU, but UNSAFE under jitted
+    interpret mode (XLA:CPU mis-executes the trace; see the auto-mode
+    comment). 'fori' is the SMEM-streamed loop form, correct everywhere.
+    'auto' (default) picks static exactly when targeting real TPU.
 
     msg_dtype: storage dtype of the C message array — the dominant VMEM
     consumer. bf16 halves it (required to fit DVB-S2 at Bt=128) at the cost
@@ -730,11 +799,40 @@ def make_layered_pallas_decoder(
             jnp.broadcast_to(jnp.asarray(beta, jnp.float32), (max_iters,)),
         ])
         alpha, beta = 0.0, 0.0  # unused; a_s/b_s come from the SMEM schedule
+    if rows not in ("auto", "fori", "static"):
+        raise ValueError(f"rows must be auto/fori/static, got {rows!r}")
+    if rows == "auto":
+        # static row unrolling is a measured +17% on real TPU
+        # (experiments/r2_opt.py, dvbs2/64800/12 fixed-25: 807 vs 688
+        # Mbit/s/chip) and bit-identical there (Mosaic sequences the
+        # unrolled ref ops correctly). It is NOT safe under jitted
+        # INTERPRET mode: XLA:CPU mis-executes the identical jaxpr
+        # (jit != eager on the same trace — diverges from iteration 2;
+        # verified 2026-08-19, fori/eager/TPU all bit-identical), so
+        # auto picks static only when the decode will run on real TPU.
+        use_static = (
+            kind == "minsum" and dup_free
+            and (interpret is False
+                 or (interpret is None and jax.default_backend() == "tpu"))
+        )
+        rows = "static" if use_static else "fori"
+    if rows == "static" and not (kind == "minsum" and dup_free):
+        raise NotImplementedError(
+            "rows='static' (trace-time row unrolling) applies to the "
+            "minsum delta sweep only (dup-free graphs)"
+        )
+    static_tables = None
+    if rows == "static":
+        static_tables = (
+            ge_be_np, np.asarray(graph.be_col_np, np.int64),
+            ge_delta_np * R, col_pre_np * R, col_post_np * R,
+        )
     kern_kw = dict(
         groups=groups, nb=nb, Z=Zp, Bt=batch_tile, R=R, Rp=Rp,
         alpha=alpha, beta=beta, max_iters=max_iters, early_term=early_term,
         dup_free=dup_free, sign_mode=sign_mode, fast_mag=min_deg >= 2,
-        kind=kind, carry_mode=carry,
+        kind=kind, carry_mode=carry, static_tables=static_tables,
+        iter_unroll=1 if per_iter else iter_unroll,
     )
     if per_iter:
         def kern(ge, bc, bs, bsb, gd, cp, cpo, ab_r, *rest):
