@@ -810,8 +810,14 @@ def make_layered_pallas_decoder(
         # (jit != eager on the same trace — diverges from iteration 2;
         # verified 2026-08-19, fori/eager/TPU all bit-identical), so
         # auto picks static only when the decode will run on real TPU.
+        # early_term (track-mode) sweeps carry the rolled-posterior
+        # restore scratch per slot; unrolling them inflates Mosaic's
+        # register-spill stack past the 120 MB VMEM cap at DVB-S2 scale
+        # (measured 2026-08-19: +5 MB over budget), so auto keeps the
+        # fori form there — early-terminating decodes are iteration-
+        # bound, not sweep-op-bound, and lose little.
         use_static = (
-            kind == "minsum" and dup_free
+            kind == "minsum" and dup_free and not early_term
             and (interpret is False
                  or (interpret is None and jax.default_backend() == "tpu"))
         )
