@@ -86,8 +86,27 @@ class PointResult:
 
     @property
     def ber_ci(self):
+        """Cluster-corrected Wilson interval on BER.
+
+        Bit errors are NOT independent Bernoulli trials — they arrive in
+        bursts of ~10-1000 inside errored frames, so a plain Wilson
+        interval on (bit_errors, total_bits) is narrower than the truth
+        by ~sqrt(burst size) and two runs of the SAME decoder routinely
+        fail to overlap (found by the golden-curve gate, 2026-08-19).
+        Standard cluster-sampling correction: the number of independent
+        error events is the errored-FRAME count, so the effective trial
+        count is total_bits / mu with mu = mean bit errors per errored
+        frame (design effect = mu). Wilson(frame_errors, bits/mu) has
+        point estimate frame_errors*mu/bits = ber, with frame-count
+        statistics. (Ignores burst-size variance — still approximate,
+        but the dominant correction.)"""
         bits = self.frames * self.message_bits_per_frame
-        return wilson_interval(self.bit_errors, bits) if bits else (0.0, 1.0)
+        if not bits:
+            return (0.0, 1.0)
+        if self.bit_errors == 0 or self.frame_errors == 0:
+            return wilson_interval(self.bit_errors, bits)
+        mu = self.bit_errors / self.frame_errors
+        return wilson_interval(self.frame_errors, max(round(bits / mu), 1))
 
     @property
     def mean_iters(self) -> float:

@@ -1,0 +1,65 @@
+"""Golden-curve regression gate (VERDICT r1 item 4): re-measure each
+family at its deep TPU golden points and require Wilson-CI overlap — the
+reference's overlapping-BER-curves validation as an automated test
+(SURVEY.md §1.1, sim/report.curves_overlap).
+
+The goldens (curves/*_golden.json) carry >= 16384 frames per point (up
+to 400 frame errors), so their CIs are tight enough that a ~1.5x FER
+regression at a waterfall point fails the gate. The re-measure arm runs
+on CPU in the slow tier with a smaller budget — its wider CI is what the
+overlap test correctly accounts for. Points whose golden FER is below
+what the CPU budget can resolve (few expected errors) are skipped by
+the min-FER filter, not silently compared against nothing.
+"""
+import json
+from pathlib import Path
+
+import pytest
+
+from ecc_ldpc_tpu.sim import StoppingRule, SweepSpec, curves_overlap, run_sweep
+from ecc_ldpc_tpu.sim.runner import PointResult
+
+pytestmark = pytest.mark.slow
+
+_CURVES = Path(__file__).parents[2] / "curves"
+
+# (golden file, max points to re-measure) — re-measure the waterfall
+# points the CPU budget can resolve: golden FER >= MIN_FER
+_GOLDENS = [
+    "80211n_1944_12_tpu_golden.json",
+    "wimax_2304_12_tpu_golden.json",
+    "nr5g_bg1_384_tpu_golden.json",
+    "nr5g_bg2_384_tpu_golden.json",
+    "dvbs2_16200_12_tpu_golden.json",
+]
+_MIN_FER = 2e-2      # ~80+ expected errors in the 4096-frame CPU budget
+_MAX_POINTS = 2      # the two lowest-SNR resolvable points per family
+
+
+def _load(path: Path):
+    return [PointResult.from_json(d) for d in json.loads(path.read_text())]
+
+
+@pytest.mark.parametrize("fname", _GOLDENS)
+def test_family_matches_golden(fname):
+    path = _CURVES / fname
+    golden = _load(path)
+    pts = [r for r in golden if r.fer >= _MIN_FER][:_MAX_POINTS]
+    if not pts:
+        pytest.skip(f"{fname}: no point with FER >= {_MIN_FER}")
+    code, decoder = pts[0].code, pts[0].decoder
+    res = run_sweep(SweepSpec(
+        code=code, decoder=decoder,
+        ebn0_db=tuple(r.ebn0_db for r in pts),
+        batch=512, seed=77,
+        stopping=StoppingRule(min_frame_errors=80, max_frames=4096),
+    ))
+    assert curves_overlap(res, pts, metric="fer"), (
+        f"{code} FER diverged from golden:\n"
+        + "\n".join(
+            f"  {r.ebn0_db} dB: got {m.fer:.3e} {m.fer_ci}, "
+            f"golden {r.fer:.3e} {r.fer_ci}"
+            for m, r in zip(res, pts)
+        )
+    )
+    assert curves_overlap(res, pts, metric="ber")
