@@ -287,7 +287,24 @@ def ieee80211n(n: int, rate: str) -> CodeSpec:
             f"table {(Z, rate)} is {base.shape}, want {(mb, BLOCK_COLS)}"
         )
     provenance = "recalled"
-    for (i, j), v in _REPAIRS.get((Z, rate), {}).items():
+    repairs = _REPAIRS.get((Z, rate), {})
+    if repairs:
+        import warnings
+
+        # ADVICE r2 item 1: make the repaired cells impossible to miss at
+        # construction time, not just in the spec name — these cells are
+        # girth-restoring but NOT claimed to match the standard, so a
+        # codeword exchange with a compliant 802.11n transmitter may fail
+        # for exactly these (rate, Z) tables.
+        warnings.warn(
+            f"802.11n (Z={Z}, rate={rate}) table carries {len(repairs)} "
+            f"girth-repaired cell(s) at {sorted(repairs)} that are not "
+            f"claimed to match IEEE Std 802.11 Annex F; curves are "
+            f"self-consistent but interop with a compliant transmitter "
+            f"is unverified for this table (see _REPAIRS provenance note)",
+            stacklevel=2,
+        )
+    for (i, j), v in repairs.items():
         base[i, j] = v
         provenance = "recalled-repaired"
     qc = QCCode(Z=Z, base=base)

@@ -159,11 +159,6 @@ def sniff_format(text: str) -> str:
     if not lines:
         raise ValueError("empty matrix file")
     first = lines[0].split()
-    if all(set(ln.replace(" ", "").replace("\t", "")) <= {"0", "1"}
-           for ln in lines) and any(
-        len(ln.replace(" ", "")) > 2 for ln in lines
-    ):
-        return "dense"
     if len(first) == 2 and len(lines) >= 4 and len(lines[1].split()) == 2:
         # alist: line 1 'n m', line 2 'dv_max dc_max', then degree lists
         # whose lengths match line 1 — triplet files have 2-3 tokens per
@@ -171,8 +166,19 @@ def sniff_format(text: str) -> str:
         n = int(first[0])
         if len(lines[2].split()) == n:
             return "alist"
+    # Triplet shape (2-3 tokens/line) beats the 0/1-characters dense test:
+    # a MATLAB triplet file whose indices happen to be all-0/1 digits
+    # (rows/cols 1, 10, 11, 100, ...) must not silently load as the wrong
+    # dense matrix (ADVICE r2 item 4). Dense files with <=3 columns are
+    # still recognized when written unspaced ('011' per row) — loads_dense
+    # accepts both forms, dumps_dense writes unspaced.
     if all(len(ln.split()) in (2, 3) for ln in lines):
         return "matlab"
+    if all(set(ln.replace(" ", "").replace("\t", "")) <= {"0", "1"}
+           for ln in lines) and any(
+        len(ln.replace(" ", "")) > 2 for ln in lines
+    ):
+        return "dense"
     raise ValueError("unrecognized matrix text format")
 
 

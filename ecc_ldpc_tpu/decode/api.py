@@ -394,4 +394,19 @@ def choose_graph(code_spec, decoder_spec: str, backend: str | None = None):
         return compile_graph(code_spec)
     if backend == "xla-mm":
         return compile_graph(code_spec)
+    if backend == "pallas" and kind in ("minsum", "spa", "minstar"):
+        # Explicit native-tier override: the QC flooding kernel needs
+        # Z % 8 == 0 and a VMEM-sized state (flooding_qc.supports). When it
+        # can't serve this code (all 802.11n Z=27/54/81, e.g.), fall back to
+        # the expanded graph so pallas/loop.py routes to the fused
+        # incidence-matmul kernel instead of raising (ADVICE r2 item 2).
+        from .pallas import flooding_qc, fused_mm
+
+        qg = compile_qc_graph(code_spec)
+        if flooding_qc.supports(qg, kind=kind):
+            return qg
+        expanded = compile_graph(code_spec)
+        if fused_mm.supports(expanded):
+            return expanded
+        return qg  # loop.py raises the descriptive envelope error
     return compile_qc_graph(code_spec)

@@ -32,6 +32,20 @@ def make_pallas_decoder(
 
         from . import flooding_qc
 
+        # Gate on the bf16 floor FIRST (ADVICE r2 item 3): supports() with
+        # the default 2-byte sizes is the smallest config this kernel can
+        # build; if even that exceeds the envelope, fail with the same
+        # descriptive error the layered path uses instead of letting Mosaic
+        # die with an opaque VMEM message at compile time.
+        if not flooding_qc.supports(graph, kind=kind):
+            raise ValueError(
+                f"{graph.name}: outside the Pallas flooding-QC kernel's "
+                f"platform envelope even at bf16 messages (needs Z % 8 == 0, "
+                f"padded sublane dim Z*R <= 1024, and ~84 MB of VMEM state) "
+                f"— use backend='xla' (roll-form flooding twin), or the "
+                f"expanded graph + fused_mm for small codes (choose_graph "
+                f"does this routing automatically)"
+            )
         dt = (
             jnp.float32
             if flooding_qc.supports(graph, msg_bytes=4, total_bytes=4,

@@ -49,15 +49,35 @@ def test_choose_graph_routing():
     assert isinstance(choose_graph(spec, "layered/10"), QCGraph)
     assert type(choose_graph(spec, "minsum/10", backend="xla-mm")) \
         is CompiledGraph
-    # pallas spa/minstar now ride the flooding-QC kernel on the QC view
-    # (VERDICT r1 item 5); the expanded fused_mm route remains for
-    # unstructured codes only
-    assert isinstance(choose_graph(spec, "spa/10", backend="pallas"),
-                      QCGraph)
-    assert isinstance(choose_graph(spec, "minsum/10", backend="pallas"),
+    # pallas spa/minstar ride the flooding-QC kernel on the QC view where
+    # that kernel can serve the graph; 802.11n's Z=27 (Z % 8 != 0) cannot,
+    # so the explicit pallas override falls back to the expanded graph +
+    # fused_mm instead of raising (ADVICE r2 item 2)
+    assert type(choose_graph(spec, "spa/10", backend="pallas")) \
+        is CompiledGraph
+    assert type(choose_graph(spec, "minsum/10", backend="pallas")) \
+        is CompiledGraph
+    qc_ok = codes.get_code("wimax/576/12")  # Z=24: flooding-QC serves it
+    assert isinstance(choose_graph(qc_ok, "spa/10", backend="pallas"),
                       QCGraph)
     plain = codes.get_code("mackay1008")
     assert type(choose_graph(plain, "minsum/10")) is CompiledGraph
+
+
+def test_pallas_override_decodes_z27_end_to_end():
+    """The ADVICE r2 item-2 regression: backend='pallas' spa on 802.11n
+    Z=27 must decode (fused_mm, interpret on CPU), not raise ValueError."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ecc_ldpc_tpu import build_ecc
+
+    ecc = build_ecc("80211n/648/12", "spa/8", backend="pallas")
+    msg = jnp.zeros((4, ecc.k), jnp.uint8)
+    cw = ecc.encode(msg)
+    llr = (1.0 - 2.0 * cw.astype(jnp.float32)) * 8.0
+    res = ecc.decode(llr)
+    assert np.all(np.asarray(res.ok))
 
 
 def test_sched_spec_guards():

@@ -76,6 +76,18 @@ def test_sniffing():
         assert _same_H(spec, loads_matrix(dump(spec)))
 
 
+def test_sniffing_prefers_triplet_over_binary_lookalike():
+    """ADVICE r2 item 4: a MATLAB triplet file whose indices are all-0/1
+    digits (rows/cols 1, 10, 11, ...) must load as a triplet matrix, not
+    silently as a dense 0/1 matrix."""
+    text = "1 1\n10 11\n11 100\n100 110\n"
+    assert sniff_format(text) == "matlab"
+    spec = loads_matrix(text)
+    assert (spec.m, spec.n) == (100, 110)
+    assert list(spec.row_cols[0]) == [0]
+    assert list(spec.row_cols[9]) == [10]
+
+
 def test_registry_prefixes_and_bare_path(tmp_path):
     spec = _hamming74()
     p = tmp_path / "h74.txt"
