@@ -18,16 +18,39 @@ Rate compatibility (the "rate-compatible" in config 5):
   - requesting n_tx < n punctures tail parity, raising the rate — the
     standard's circular-buffer rate matching restricted to RV0.
 
-TABLE PROVENANCE (SURVEY.md §7.2 item 4): the 316/197-entry shift tables
-of 38.212 cannot be reproduced from memory; shifts here are deterministic
-SURROGATES on the exact BG skeleton above, QC-girth-repaired at Z_max and
-re-optimized per lifting size after reduction (the standard's 8
-per-lifting-set tables solve the same problem): BG1 is 4-cycle-free for
-every Zc >= 22 and BG2 for Zc >= 10; smaller Zc keep the
-pigeonhole-unavoidable residual of dense core rows.
-Degree profiles follow the standard's shape (two very heavy leading info
-columns, dense core rows, sparse extension rows). Validated by the NR
-encoder's G·H^T=0 self-check and waterfall tests.
+TABLE PROVENANCE (SURVEY.md §7.2 item 4; VERDICT r2 item 5):
+split per base graph after a genuine recall attempt this round —
+
+- BG2 CONNECTIVITY (which of the 42x52 cells are non-null, 197 edges):
+  RECALLED from 38.212 Table 5.3.2-3, MEDIUM-HIGH confidence. Validation
+  anchors that a confabulated table would be unlikely to hit jointly:
+  the row degrees sum to exactly the published 197 edges; the two heavy
+  systematic columns measure the published weights (col 0: 22,
+  col 1: 23); the core rows have the published degrees (8, 10, 8, 10);
+  the core-parity section reproduces the standard's BG2 dual-diagonal
+  variant (special column kb=10 at rows {0,2,3} — NOT 802.11n's
+  {0, mid, last} — with staircase cols 11/12/13 at {0,1}/{1,2}/{2,3});
+  every extension row carries exactly one degree-1 identity column.
+  Individual extension-row cells may still carry recall errors
+  (~4 cells/row over 38 rows); declared MEDIUM per-cell.
+- BG1 CONNECTIVITY: the 4 core rows (19 entries each) are RECALLED
+  (HIGH confidence — the most-reproduced rows of the table), including
+  the special column 22 at rows {0,1,3} and staircase 23/24/25. The 42
+  extension rows (~240 cells) did NOT clear the reliable-recall bar
+  (a full-table attempt summed to 313 of the published 316 edges, i.e.
+  provably at least slightly wrong) and remain degree-shaped SURROGATES.
+- SHIFT VALUES (8 iLS sets x 316/197 cells): beyond reliable recall —
+  no individual V(i,j) value could be reproduced with any confidence,
+  so ALL shifts are deterministic SURROGATES, QC-girth-optimized at
+  Z_max and re-optimized per lifting size after mod-Zc reduction (the
+  standard's 8 per-lifting-set tables solve the same problem). This is
+  a decided limitation, not an open TODO: recalling ~2500 numeric cells
+  offline is not realistic, and a partially-wrong shift table would be
+  strictly worse than a girth-optimized surrogate (wrong shifts close
+  4-cycles; the surrogate is 4-cycle-free wherever pigeonhole allows).
+
+Validated by the NR encoder's G·H^T=0 self-check, waterfall tests, and
+tests/unit/test_nr5g.py structure pins.
 """
 from __future__ import annotations
 
@@ -45,8 +68,78 @@ LIFTING_SIZES = sorted(
 )
 
 _BG = {
-    "bg1": dict(mb=46, kb=22, core_info_deg=19, ext_info_deg=4),
-    "bg2": dict(mb=42, kb=10, core_info_deg=8, ext_info_deg=3),
+    "bg1": dict(mb=46, kb=22, core_info_deg=19, ext_info_deg=4, mid_row=1),
+    "bg2": dict(mb=42, kb=10, core_info_deg=8, ext_info_deg=3, mid_row=2),
+}
+
+# BG2 connectivity [recalled, 38.212 Table 5.3.2-3 — provenance and
+# validation anchors in the module docstring]. Row i -> non-null columns
+# (info cols 0-9, core parity 10-13, extension identity 14+).
+_BG2_ROWS = (
+    (0, 1, 2, 3, 6, 9, 10, 11),
+    (0, 3, 4, 5, 6, 7, 8, 9, 11, 12),
+    (0, 1, 3, 4, 8, 10, 12, 13),
+    (1, 2, 4, 5, 6, 7, 8, 9, 10, 13),
+    (0, 1, 11, 14),
+    (0, 1, 5, 7, 11, 15),
+    (0, 5, 7, 9, 11, 16),
+    (1, 5, 7, 11, 13, 17),
+    (0, 1, 12, 18),
+    (1, 8, 10, 11, 19),
+    (0, 1, 6, 7, 20),
+    (0, 7, 9, 13, 21),
+    (1, 3, 11, 22),
+    (0, 1, 8, 13, 23),
+    (1, 6, 11, 13, 24),
+    (0, 10, 11, 25),
+    (1, 9, 11, 12, 26),
+    (1, 5, 11, 12, 27),
+    (0, 6, 7, 28),
+    (0, 1, 10, 29),
+    (1, 4, 11, 30),
+    (0, 8, 13, 31),
+    (1, 2, 32),
+    (0, 3, 5, 33),
+    (1, 2, 9, 34),
+    (0, 5, 35),
+    (2, 7, 12, 13, 36),
+    (0, 6, 37),
+    (1, 2, 5, 38),
+    (0, 4, 39),
+    (2, 5, 7, 9, 40),
+    (1, 13, 41),
+    (0, 5, 12, 42),
+    (2, 7, 10, 43),
+    (0, 12, 13, 44),
+    (1, 5, 11, 45),
+    (0, 2, 7, 46),
+    (10, 13, 47),
+    (1, 5, 11, 48),
+    (0, 7, 12, 49),
+    (2, 10, 13, 50),
+    (1, 5, 11, 51),
+)
+
+# BG1 core-row connectivity [recalled, 38.212 Table 5.3.2-2 rows 0-3,
+# HIGH confidence]: 19 entries each; special col 22 at rows {0,1,3},
+# staircase cols 23/24/25 at rows {0,1}/{1,2}/{2,3}.
+_BG1_CORE_ROWS = (
+    (0, 1, 2, 3, 5, 6, 9, 10, 11, 12, 13, 15, 16, 18, 19, 20, 21, 22, 23),
+    (0, 2, 3, 4, 5, 7, 8, 9, 11, 12, 14, 15, 16, 17, 19, 21, 22, 23, 24),
+    (0, 1, 2, 4, 5, 6, 7, 8, 9, 10, 13, 14, 15, 17, 18, 19, 20, 24, 25),
+    (0, 1, 3, 4, 6, 7, 8, 10, 11, 12, 13, 14, 16, 17, 18, 20, 21, 22, 25),
+)
+
+# structural shifts of the core-parity section (applied on top of the
+# connectivity): the special column's (1, 0, 1) pattern and shift-0
+# staircase make the O(n) core solve exact (encode/structured.py). The
+# standard's per-set special shifts differ per iLS; with surrogate shift
+# tables the canonical (1,0,1) is used.
+_CORE_PARITY_SHIFTS = {
+    "bg1": {(0, 22): 1, (1, 22): 0, (3, 22): 1, (0, 23): 0, (1, 23): 0,
+            (1, 24): 0, (2, 24): 0, (2, 25): 0, (3, 25): 0},
+    "bg2": {(0, 10): 1, (2, 10): 0, (3, 10): 1, (0, 11): 0, (1, 11): 0,
+            (1, 12): 0, (2, 12): 0, (2, 13): 0, (3, 13): 0},
 }
 
 
@@ -57,29 +150,29 @@ def _build_bg(bg: str, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
     base = -np.ones((mb, nb), dtype=np.int32)
 
-    # core parity (cols kb..kb+3), dual-diagonal over the 4 core rows:
-    # special col kb at rows (0,1,3) with shifts (1,0,1); staircase
-    base[0, kb] = 1
-    base[1, kb] = 0
-    base[3, kb] = 1
-    base[0, kb + 1] = 0
-    base[1, kb + 1] = 0
-    base[1, kb + 2] = 0
-    base[2, kb + 2] = 0
-    base[2, kb + 3] = 0
-    base[3, kb + 3] = 0
+    if bg == "bg2":
+        # exact recalled connectivity; shifts surrogate (girth-optimized
+        # below), structural core-parity/identity shifts pinned
+        for i, cols in enumerate(_BG2_ROWS):
+            for j in cols:
+                base[i, j] = rng.integers(0, ZMAX)
+        for (i, j), v in _CORE_PARITY_SHIFTS[bg].items():
+            base[i, j] = v
+        for r in range(4, mb):
+            base[r, kb + 4 + (r - 4)] = 0
+        # info/extension shifts get girth-optimized by the caller
+        return _core_girth_repair(base, kb, rng)
+
+    # bg1: recalled core connectivity + surrogate extension rows
+    for i, cols in enumerate(_BG1_CORE_ROWS):
+        for j in cols:
+            base[i, j] = rng.integers(0, ZMAX)
+    for (i, j), v in _CORE_PARITY_SHIFTS[bg].items():
+        base[i, j] = v
 
     # extension identity parity
     for r in range(4, mb):
         base[r, kb + 4 + (r - 4)] = 0
-
-    # core rows: dense info participation; columns 0,1 in every core row
-    for r in range(4):
-        cols = {0, 1}
-        want = min(cfg["core_info_deg"], kb)
-        cols |= set(rng.choice(np.arange(2, kb), size=want - 2, replace=False))
-        for j in cols:
-            base[r, j] = rng.integers(0, ZMAX)
 
     # extension rows: heavy cols 0,1 often present + light info/core entries
     deg = (base[:, :kb] >= 0).sum(axis=0)
@@ -98,7 +191,12 @@ def _build_bg(bg: str, seed: int) -> np.ndarray:
             if j < kb:
                 deg[j] += 1
 
-    # QC girth repair at ZMAX on non-parity entries
+    return _core_girth_repair(base, kb, rng)
+
+
+def _core_girth_repair(base: np.ndarray, kb: int, rng) -> np.ndarray:
+    """QC girth repair at ZMAX on non-parity (surrogate-shift) entries.
+    Connectivity is never changed — only shift values at info columns."""
     from .ieee80211n import _block_4cycle_violations
 
     for _ in range(4000):
@@ -206,10 +304,13 @@ def nr5g(
                 n = (kb + 4 + (mb_used - 4)) * Zc
             punct += [b for b in tx[n_tx:] if b < n]
     qc = QCCode(Z=Zc, base=base)
+    # provenance suffix (module docstring): bg2 connectivity is recalled
+    # (shifts surrogate); bg1 recalled core rows + surrogate extensions
+    prov = {"bg1": "core-recalled", "bg2": "conn-recalled"}[bg]
     return expand_qc(
         qc,
         name=f"nr5g.{bg}.z{Zc}" + (f".k{k}" if k != k_full else "")
-        + (f".ntx{n_tx}" if n_tx else "") + ".surrogate",
+        + (f".ntx{n_tx}" if n_tx else "") + f".{prov}",
         k=k,
         punctured_cols=tuple(punct),
         shortened_cols=filler,

@@ -2,17 +2,22 @@
 (SURVEY.md §2.2 C11).
 
 For base matrices of the 802.11n/WiMAX shape H = [Hi | Hp], where Hp has a
-special first parity column with entries (x, 0, x) at rows (0, rx, mb-1)
+special first parity column with entries (x, y, x) at rows (0, rx, mb-1)
 and a shift-0 double-diagonal staircase, the parity blocks follow from the
 info blocks without any generator matrix:
 
   s_i   = sum_j P^{a_ij} u_j                 (block syndromes of the info part)
-  p_0   = sum_i s_i                           (rows telescope: staircase
+  P^y p_0 = sum_i s_i                         (rows telescope: staircase
                                                cancels pairwise; the special
                                                column's two P^x add to zero,
-                                               leaving P^0 p_0)
+                                               leaving P^y p_0)
   p_1   = s_0 + P^{x} p_0
-  p_{d+1} = p_d + s_d + [P^{0} p_0 if d == rx]   (back-substitution)
+  p_{d+1} = p_d + s_d + [P^{y} p_0 if d == rx]   (back-substitution)
+
+Most standard tables use (x, 0, x) with x >= 1; WiMAX rate 3/4B is the
+(0, y, 0) case — the paired entries cancel regardless of their value, so
+any x works, and a nonzero middle shift y just makes p_0 a rotation of
+the row-sum (802.16e §8.4.9.2.2's h_b(kb) column convention).
 
 All block ops are jnp.roll along the Z axis with static shifts — the
 encoder is a short unrolled roll/XOR chain, MXU-free and gather-free,
@@ -39,9 +44,10 @@ class DualDiagonalPlan:
     Z: int
     mb: int
     kb: int
-    special_shift: int  # x in the (x, 0, x) special column
+    special_shift: int  # x in the (x, y, x) special column
     special_mid_row: int  # rx
     info_edges: tuple  # tuple of (block_row, block_col, shift)
+    special_mid_shift: int = 0  # y (0 for 802.11n and most WiMAX tables)
 
     @staticmethod
     def from_spec(spec: CodeSpec) -> "DualDiagonalPlan":
@@ -56,10 +62,13 @@ class DualDiagonalPlan:
         pcol = base[:, kb]
         rows = np.flatnonzero(pcol >= 0)
         if len(rows) != 3 or rows[0] != 0 or rows[-1] != mb - 1:
-            raise ValueError(f"{spec.name}: no (x,0,x) special parity column")
+            raise ValueError(f"{spec.name}: no (x,y,x) special parity column")
         x0, xm, x2 = pcol[rows[0]], pcol[rows[1]], pcol[rows[2]]
-        if x0 != x2 or xm != 0:
-            raise ValueError(f"{spec.name}: special column is ({x0},{xm},{x2}), not (x,0,x)")
+        if x0 != x2:
+            raise ValueError(
+                f"{spec.name}: special column is ({x0},{xm},{x2}), not "
+                f"(x,y,x) — the paired first/last entries must be equal"
+            )
         # staircase check
         for d in range(mb - 1):
             col = base[:, kb + 1 + d]
@@ -75,6 +84,7 @@ class DualDiagonalPlan:
         return DualDiagonalPlan(
             Z=qc.Z, mb=mb, kb=kb, special_shift=int(x0),
             special_mid_row=int(rows[1]), info_edges=info_edges,
+            special_mid_shift=int(xm),
         )
 
 
@@ -111,14 +121,16 @@ class DualDiagonalEncoder:
         s = np.zeros((p.mb, p.Z, B), np.uint8)
         for i, j, sh in p.info_edges:
             s[i] ^= np.roll(u[j], -sh, axis=0)
-        p0 = s.sum(axis=0) % 2
+        # P^y p0 = sum(s)  =>  p0 = roll(sum, +y)  (y = 0 for most tables)
+        p0 = np.roll(s.sum(axis=0) % 2, p.special_mid_shift, axis=0)
+        p0_mid = np.roll(p0, -p.special_mid_shift, axis=0)  # P^y p0
         parity = [p0.astype(np.uint8)]
         prev = s[0] ^ np.roll(p0, -p.special_shift, axis=0)
         parity.append(prev.astype(np.uint8))
         for d in range(1, p.mb - 1):
             nxt = prev ^ s[d]
             if d == p.special_mid_row:
-                nxt = nxt ^ p0
+                nxt = nxt ^ p0_mid
             parity.append(nxt.astype(np.uint8))
             prev = nxt
         par = np.stack(parity).reshape(p.mb * p.Z, B)
@@ -136,6 +148,9 @@ class DualDiagonalEncoder:
         p0 = s[0]
         for i in range(1, p.mb):
             p0 = p0 ^ s[i]
+        # P^y p0 = sum(s)  =>  p0 = roll(sum, +y)  (y = 0 for most tables)
+        p0 = jnp.roll(p0, p.special_mid_shift, axis=0)
+        p0_mid = jnp.roll(p0, -p.special_mid_shift, axis=0)  # P^y p_0
         parity = [p0]
         # row 0: s_0 + P^x p_0 + p_1 = 0
         prev = s[0] ^ jnp.roll(p0, -p.special_shift, axis=0)
@@ -143,7 +158,7 @@ class DualDiagonalEncoder:
         for d in range(1, p.mb - 1):
             nxt = prev ^ s[d]
             if d == p.special_mid_row:
-                nxt = nxt ^ p0  # P^0 p_0
+                nxt = nxt ^ p0_mid
             parity.append(nxt)
             prev = nxt
         par = jnp.stack(parity).reshape(p.mb * p.Z, B)
@@ -248,8 +263,16 @@ class NRCoreExtensionEncoder:
         core = base[:4]
         col = core[:, kb]
         nz = np.flatnonzero(col >= 0)
-        if not (list(nz) == [0, 1, 3] and list(col[nz]) == [1, 0, 1]):
+        # special column at rows (0, rm, 3): BG1 has rm=1, BG2 rm=2
+        # (38.212 Tables 5.3.2-2/-3). Paired first/last shifts (x, _, x)
+        # cancel in the 4-row sum, leaving P^y p0 = sum(s) with y the
+        # mid-row shift.
+        if not (len(nz) == 3 and nz[0] == 0 and nz[2] == 3
+                and col[nz[0]] == col[nz[2]]):
             raise ValueError(f"{spec.name}: no NR core special column")
+        self._mid_row = int(nz[1])
+        self._mid_shift = int(col[nz[1]])
+        self._special_shift = int(col[0])
         for d, rows in [(1, [0, 1]), (2, [1, 2]), (3, [2, 3])]:
             c = core[:, kb + d]
             nz = np.flatnonzero(c >= 0)
@@ -292,10 +315,13 @@ class NRCoreExtensionEncoder:
         for i in range(4):
             for j, sh in self.row_edges[i]:
                 s[i] = s[i] ^ roll(u[j], -sh)
-        p0 = s[0] ^ s[1] ^ s[2] ^ s[3]
-        p1 = s[0] ^ roll(p0, -1)
-        p2 = s[1] ^ p0 ^ p1
-        p3 = s[2] ^ p2
+        # 4-row sum: staircase pairs cancel, the (x,_,x) special pair
+        # cancels, leaving P^y p0 = s0+s1+s2+s3
+        ssum = s[0] ^ s[1] ^ s[2] ^ s[3]
+        p0 = roll(ssum, self._mid_shift)
+        p1 = s[0] ^ roll(p0, -self._special_shift)
+        p2 = s[1] ^ p1 ^ (ssum if self._mid_row == 1 else zeros())
+        p3 = s[2] ^ p2 ^ (ssum if self._mid_row == 2 else zeros())
         core = [p0, p1, p2, p3]
         cols = u + core
         ext = []

@@ -28,6 +28,51 @@ def test_bg_geometry():
     assert abs(s2.rate - 1 / 5) < 1e-9
 
 
+def test_bg2_recalled_connectivity():
+    """Pin the recalled BG2 connectivity (38.212 Table 5.3.2-3; VERDICT
+    r2 item 5): published aggregate anchors — 197 edges, heavy-column
+    weights 22/23, core row degrees (8,10,8,10) — plus the BG2 core-parity
+    variant (special col 10 at rows {0,2,3}) and per-row spot checks so
+    accidental edits are caught."""
+    from ecc_ldpc_tpu.codes.nr5g import _BG1_CORE_ROWS, _BG2_ROWS
+
+    assert len(_BG2_ROWS) == 42
+    assert sum(len(r) for r in _BG2_ROWS) == 197
+    colw = np.zeros(52, int)
+    for r in _BG2_ROWS:
+        for j in r:
+            colw[j] += 1
+    assert colw[0] == 22 and colw[1] == 23
+    assert [len(_BG2_ROWS[i]) for i in range(4)] == [8, 10, 8, 10]
+    # core-parity variant: col 10 at rows {0,2,3}; staircase 11/12/13
+    assert [i for i in range(4) if 10 in _BG2_ROWS[i]] == [0, 2, 3]
+    assert [i for i in range(4) if 11 in _BG2_ROWS[i]] == [0, 1]
+    assert [i for i in range(4) if 12 in _BG2_ROWS[i]] == [1, 2]
+    assert [i for i in range(4) if 13 in _BG2_ROWS[i]] == [2, 3]
+    # every extension row: exactly one identity column, in order
+    for i in range(4, 42):
+        assert _BG2_ROWS[i][-1] == 10 + i
+        assert all(j < 14 for j in _BG2_ROWS[i][:-1])
+    # spot rows
+    assert _BG2_ROWS[0] == (0, 1, 2, 3, 6, 9, 10, 11)
+    assert _BG2_ROWS[26] == (2, 7, 12, 13, 36)
+    # BG1 core rows: 19 entries each, special col 22 at rows {0,1,3}
+    assert all(len(r) == 19 for r in _BG1_CORE_ROWS)
+    assert [i for i in range(4) if 22 in _BG1_CORE_ROWS[i]] == [0, 1, 3]
+    assert [i for i in range(4) if 23 in _BG1_CORE_ROWS[i]] == [0, 1]
+    assert [i for i in range(4) if 25 in _BG1_CORE_ROWS[i]] == [2, 3]
+
+
+def test_bg2_expanded_matches_connectivity():
+    """The expanded code's base matrix preserves the recalled connectivity
+    exactly (girth optimization moves shift values, never edges)."""
+    from ecc_ldpc_tpu.codes.nr5g import _BG2_ROWS
+
+    base = nr5g("bg2", 104).qc.base
+    for i in range(42):
+        assert tuple(np.flatnonzero(base[i] >= 0)) == _BG2_ROWS[i]
+
+
 @pytest.mark.parametrize("bg,Zc", [("bg1", 384), ("bg2", 208), ("bg1", 56)])
 def test_encoder_validates(bg, Zc):
     spec = nr5g(bg, Zc)

@@ -146,7 +146,8 @@ def test_wimax_r12_recalled_table():
     from ecc_ldpc_tpu.codes.girth import block_4cycle_violations
     from ecc_ldpc_tpu.codes.wimax import _base_table, _scale
 
-    base = _base_table("12")
+    base, provenance = _base_table("12")
+    assert provenance == "recalled"
     assert base.shape == (12, 24)
     # special column (7, 0, 7) with the middle zero at row 5
     col = base[:, 12]
@@ -162,6 +163,41 @@ def test_wimax_r12_recalled_table():
         assert len(v) == (1 if Z == 28 else 0), (Z, v)
 
 
-def test_wimax_r12_names_recalled():
+def test_wimax_all_tables_recalled_structure():
+    """All six 802.16e rate tables are standard-recalled (VERDICT r2
+    item 1): pin each table's published degree profile, special-column
+    shape, 4-cycle freedom at Z0=96, and spot shift values so accidental
+    edits are caught. 3/4A carries the declared 2-cell girth repair."""
+    from ecc_ldpc_tpu.codes.girth import block_4cycle_violations
+    from ecc_ldpc_tpu.codes.wimax import RATES, _REPAIRS, _base_table
+
+    profiles = {  # rate -> (rows, info col degrees, special, spots)
+        "12": ({6, 7}, {3, 6}, (7, 0, 7), ((0, 1, 94), (11, 0, 43))),
+        "23A": ({10}, {3, 6}, (1, 0, 1), ((0, 0, 3), (7, 9, 30))),
+        "23B": ({10, 11}, {4}, (95, 0, 95), ((0, 0, 2), (7, 13, 78))),
+        "34A": ({14, 15}, {4}, (48, 0, 48), ((0, 0, 6), (5, 13, 53))),
+        "34B": ({14, 15}, {3, 6}, (0, 80, 0), ((0, 1, 81), (5, 17, 89))),
+        "56": ({20}, {3, 4}, (80, 0, 80), ((0, 0, 1), (3, 19, 66))),
+    }
+    for rate, (rows, cols, special, spots) in profiles.items():
+        mb = RATES[rate][0]
+        kb = 24 - mb
+        base, provenance = _base_table(rate)
+        assert provenance == (
+            "recalled-repaired" if rate in _REPAIRS else "recalled")
+        assert base.shape == (mb, 24)
+        pcol = base[:, kb]
+        nz = np.flatnonzero(pcol >= 0)
+        assert list(nz) == [0, mb // 2, mb - 1] or len(nz) == 3
+        assert tuple(int(pcol[r]) for r in nz) == special
+        assert set((base >= 0).sum(1)) == rows
+        assert set((base[:, :kb] >= 0).sum(0)) == cols
+        assert not block_4cycle_violations(base, 96), rate
+        for r, c, s in spots:
+            assert base[r, c] == s, (rate, r, c, int(base[r, c]))
+
+
+def test_wimax_names_recalled():
     assert wimax(1152, "12").name == "wimax.1152.12.recalled"
-    assert "surrogate" in wimax(1152, "23A").name
+    assert wimax(1152, "23A").name == "wimax.1152.23A.recalled"
+    assert wimax(1152, "34A").name == "wimax.1152.34A.recalled-repaired"
