@@ -82,7 +82,10 @@ def _cn_spa_3d(V3, mask3):
     lt = jnp.where(mask3, lt, 0.0)
     loo = jnp.sum(lt, axis=1, keepdims=True) - lt
     t = jnp.clip(jnp.exp(loo), None, 1.0 - 1e-7)
-    mag = 2.0 * jnp.arctanh(t)
+    # 2*arctanh(t) in the log1p form: Mosaic has no atanh lowering
+    # (hit on real TPU, mackay spa golden regen 2026-08-20); same
+    # expression the layered/flooding QC kernels use
+    mag = jnp.log1p(t) - jnp.log1p(-t)
     sgn_prod = _sign_prod(V3, mask3)
     return jnp.where(mask3, (sgn_prod * s) * mag, 0.0)
 
