@@ -112,7 +112,7 @@ def make_decoder(
                     "layered decoding needs a QCGraph (compile with "
                     "graph.qc.compile_qc_graph on a QC code spec)"
                 )
-            if not layered_qc.supports(graph, msg_bytes=2):
+            if not layered_qc.supports(graph, msg_bytes=2, kind=cn):
                 raise ValueError(
                     f"{graph.name}: outside the Pallas layered kernel's "
                     f"platform envelope (VMEM budget, or padded sublane "
@@ -121,7 +121,7 @@ def make_decoder(
                 )
             msg_dtype = (
                 jnp.float32
-                if layered_qc.supports(graph, msg_bytes=4)
+                if layered_qc.supports(graph, msg_bytes=4, kind=cn)
                 else jnp.bfloat16
             )
             return layered_qc.make_layered_pallas_decoder(
@@ -148,7 +148,7 @@ def make_decoder(
             if (
                 on_tpu
                 and isinstance(graph, QCGraph)
-                and layered_qc.supports(graph)
+                and layered_qc.supports(graph, kind=cn)
             ):
                 backend = "pallas"
             else:

@@ -69,7 +69,7 @@ def _round_up(x: int, m: int) -> int:
 
 def supports(
     graph: QCGraph, batch_tile: int = 128, msg_bytes: int = 2,
-    llr_bytes: int | None = None,
+    llr_bytes: int | None = None, kind: str = "minsum",
 ) -> bool:
     if llr_bytes is None:
         llr_bytes = msg_bytes  # dispatch sets llr_dtype = msg_dtype
@@ -82,12 +82,15 @@ def supports(
         # not the binding constraint). The XLA static-roll tier serves
         # big-Z codes — auto dispatch routes there.
         return False
+    vrow_rows = graph.dcb_max
+    if kind == "minstar" and not graph.intra_layer_dup_free:
+        vrow_rows *= 2  # classic-exact sweep stores slabs + fwd prefixes
     state = graph.Z * R * lanes * (
         msg_bytes * graph.num_block_edges  # C (msg_dtype)
         + 4 * graph.nb                     # total (f32)
         + llr_bytes * graph.nb             # llr in (llr_dtype)
         + 1 * graph.nb                     # bits out (int8)
-        + 4 * graph.dcb_max                # vrow (f32)
+        + 4 * vrow_rows                    # vrow (f32)
     )
     return state <= 118 * 1024 * 1024
 
@@ -620,10 +623,122 @@ def _kernel(
             fail = jnp.maximum(fail, (flipacc0 != 0).astype(jnp.float32))
         return replica_max(fail)
 
+    def sweep_exact_classic(frozen, track, t=0):
+        """Exact-BP layered sweep in the 2-roll delta-add form — the
+        fallback for graphs with INTRA-LAYER DUPLICATE block-columns
+        (multi-edge protographs, e.g. CCSDS AR4JA): posterior updates for
+        duplicate columns must ACCUMULATE, so the alignment-carrying
+        storage of sweep_exact cannot apply. kind='spa' stores extrinsic
+        slabs in vrow and recomputes log|tanh| per edge in pass 2;
+        kind='minstar' stores slabs in vrow[0:dcb] AND box-plus forward
+        prefixes in vrow[dcb:2*dcb] (the wrapper doubles the scratch).
+        Sign semantics are 'count' ((x < 0), matching the oracle's forced
+        degradation on dup graphs). Oracle twin: decode/xla/layered.py
+        cn='spa'/'minstar' on dup graphs (bit-exact in f32; the oracle
+        reverses its posterior-update order for minstar to match this
+        sweep's backward pass 2)."""
+        keep = (frozen > 0.5) if track else None
+        fail = jnp.zeros((Z, Bt), jnp.float32)
+        flipacc0 = jnp.zeros((Z, Bt), jnp.int32)  # see sweep_delta
+        # wrapper allocates 2*dcb rows for minstar (slabs + fwd prefixes)
+        dcb = vrow_s.shape[0] // 2 if kind == "minstar" else vrow_s.shape[0]
+        for deg, nrows, off in groups:
+            def layer(li, carry, deg=deg, off=off):
+                if track:
+                    fail, flipacc = carry
+                else:
+                    fail = carry
+                base = off + li * deg
+                zero = jnp.zeros((Z, Bt), jnp.float32)
+                hardcnt = zero
+                ltacc = zero          # spa
+                negcnt = zero         # spa (count sign semantics)
+                fwd = None            # minstar
+                for si in range(deg):
+                    e = ge_be_ref[base + si]
+                    rolled = pltpu.roll(total_s[be_col_ref[e]],
+                                        be_shiftb_ref[e], 0)
+                    if track:
+                        hardcnt = hardcnt + (rolled < 0).astype(jnp.float32)
+                    slab = rolled - C_s[e].astype(jnp.float32)
+                    vrow_s[si] = slab
+                    if kind == "spa":
+                        a = jnp.abs(slab)
+                        lt = jnp.log(jnp.tanh(
+                            jnp.clip(a, 1e-10, 40.0) * 0.5
+                        ))
+                        ltacc = ltacc + lt
+                        negcnt = negcnt + (slab < 0).astype(jnp.float32)
+                    else:  # minstar: sign rides inside box-plus
+                        fwd = slab if si == 0 else _boxplus(fwd, slab)
+                        vrow_s[dcb + si] = fwd
+                if track:
+                    hpar = hardcnt - 2.0 * jnp.floor(hardcnt * 0.5)
+                    fail = jnp.maximum(fail, hpar)
+                if kind == "spa":
+                    par = negcnt - 2.0 * jnp.floor(negcnt * 0.5)
+                    sgn_prod = 1.0 - 2.0 * par
+
+                # pass 2: backward for minstar's running suffix; posterior
+                # deltas ACCUMULATE (dup columns add both edges' updates)
+                order = range(deg) if kind == "spa" else range(deg - 1, -1, -1)
+                bwd = None
+                for si in order:
+                    e = ge_be_ref[base + si]
+                    col = be_col_ref[e]
+                    Cold = C_s[e].astype(jnp.float32)
+                    v = vrow_s[si]
+                    if kind == "spa":
+                        a = jnp.abs(v)
+                        lt = jnp.log(jnp.tanh(
+                            jnp.clip(a, 1e-10, 40.0) * 0.5
+                        ))
+                        tt = jnp.minimum(jnp.exp(ltacc - lt), _SPA_TANH_CLIP)
+                        mag = jnp.log1p(tt) - jnp.log1p(-tt)
+                        sv = jnp.where(v < 0, -1.0, 1.0)
+                        Cnew = (sgn_prod * sv) * mag
+                    else:  # minstar
+                        if deg == 1:
+                            out = jnp.full((Z, Bt), 1e9, jnp.float32)
+                        elif si == deg - 1:
+                            out = vrow_s[dcb + deg - 2]
+                        elif si == 0:
+                            out = bwd
+                        else:
+                            out = _boxplus(vrow_s[dcb + si - 1], bwd)
+                        Cnew = jnp.clip(out, -_MAG_CAP, _MAG_CAP)
+                        bwd = v if si == deg - 1 else _boxplus(bwd, v)
+                    if track:
+                        Cnew = jnp.where(keep, Cold, Cnew)
+                    Cb = Cnew.astype(C_s.dtype)
+                    Cq = Cb.astype(jnp.float32)
+                    old = total_s[col]
+                    neww = old + pltpu.roll(Cq - Cold, be_shift_ref[e], 0)
+                    if track:
+                        flipacc = flipacc | (
+                            (jax.lax.bitcast_convert_type(neww, jnp.int32)
+                             ^ jax.lax.bitcast_convert_type(old, jnp.int32))
+                            & _SGN_MASK
+                        )
+                    total_s[col] = neww
+                    C_s[e] = Cb
+                if track:
+                    return fail, flipacc
+                return fail
+            if track:
+                fail, flipacc0 = jax.lax.fori_loop(
+                    0, nrows, layer, (fail, flipacc0)
+                )
+            else:
+                fail = jax.lax.fori_loop(0, nrows, layer, fail)
+        if track:
+            fail = jnp.maximum(fail, (flipacc0 != 0).astype(jnp.float32))
+        return replica_max(fail)
+
     if kind == "minsum":
         sweep = sweep_delta if dup_free else sweep_classic
     else:
-        sweep = sweep_exact  # wrapper guarantees dup_free
+        sweep = sweep_exact if dup_free else sweep_exact_classic
 
     if early_term:
         done0 = 1.0 - syndrome_fail()
@@ -747,8 +862,6 @@ def make_layered_pallas_decoder(
     msg_bytes = jnp.dtype(msg_dtype).itemsize
     llr_bytes = jnp.dtype(llr_dtype).itemsize
     lanes = max(batch_tile, 128)
-    per_sublane = lanes * (msg_bytes * BE + 4 * nb + 4 * dcb
-                           + llr_bytes * nb + nb)
     if pack == "auto":
         R = r_min
     else:
@@ -768,12 +881,9 @@ def make_layered_pallas_decoder(
     if kind not in ("minsum", "spa", "minstar"):
         raise KeyError(f"layered kernel kind must be minsum/spa/minstar, "
                        f"got {kind!r}")
-    if kind != "minsum" and not dup_free:
-        raise NotImplementedError(
-            f"layered kind={kind!r} needs a dup-free graph (every "
-            f"standards family qualifies); {graph.name} has intra-layer "
-            f"duplicate block-columns"
-        )
+    # exact kinds on dup graphs take sweep_exact_classic; minstar there
+    # stores box-plus forward prefixes alongside the slabs (2*dcb rows)
+    vrow_rows = 2 * dcb if (kind == "minstar" and not dup_free) else dcb
     ge_be = jnp.asarray(ge_be_np)
     # all shift tables scale by R for the packed layout
     ge_delta = jnp.asarray(ge_delta_np * R)
@@ -846,6 +956,8 @@ def make_layered_pallas_decoder(
                            ab_ref=ab_r, **kern_kw)
     else:
         kern = functools.partial(_kernel, **kern_kw)
+    per_sublane = lanes * (msg_bytes * BE + 4 * nb + 4 * vrow_rows
+                           + llr_bytes * nb + nb)
     state_bytes = Zp * per_sublane
     vmem_limit = min(state_bytes + (1 << 23), 120 * 1024 * 1024)
 
@@ -886,7 +998,7 @@ def make_layered_pallas_decoder(
             scratch_shapes=[
                 pltpu.VMEM((nb, Zp, batch_tile), jnp.float32),
                 pltpu.VMEM((BE, Zp, batch_tile), msg_dtype),
-                pltpu.VMEM((dcb, Zp, batch_tile), jnp.float32),
+                pltpu.VMEM((vrow_rows, Zp, batch_tile), jnp.float32),
             ],
         )
         def one_chunk(llr_chunk):

@@ -148,12 +148,6 @@ def decode_layered(
     Z, nb = graph.Z, graph.nb
     dup_free = graph.intra_layer_dup_free
     cn_exact = _cn_for(cn)  # None for minsum
-    if cn != "minsum" and not dup_free:
-        raise NotImplementedError(
-            f"layered cn={cn!r} is implemented for dup-free graphs "
-            f"(every standards family); {graph.name} has intra-layer "
-            f"duplicate block-columns — use flooding spa/minstar"
-        )
     if not dup_free:
         sign_mode = "count"  # mirror the kernel's bitxor-needs-dup-free rule
     alphas = jnp.broadcast_to(jnp.asarray(alpha, jnp.float32), (max_iters,))
@@ -206,7 +200,17 @@ def decode_layered(
             # graphs with intra-layer duplicate columns must ACCUMULATE via
             # the delta-add form. All indices static =>
             # dynamic_update_slice, never scatter (TPU-safe).
-            for j, (e, col, s) in enumerate(edges):
+            # multi-edge graphs + minstar: the Pallas classic-exact sweep
+            # emits pass 2 BACKWARD (running box-plus suffix), so posterior
+            # deltas for duplicate columns accumulate in that order; mirror
+            # it to keep the bit-exact-twin contract (f32 adds don't
+            # commute). All other paths touch each column once per layer
+            # (dup-free) or match the kernel's forward order already.
+            jorder = range(len(edges))
+            if cn == "minstar" and not dup_free:
+                jorder = range(len(edges) - 1, -1, -1)
+            for j in jorder:
+                e, col, s = edges[j]
                 if dup_free:
                     new_aligned = Vt[j] + Cnew[j]
                     if track:

@@ -102,10 +102,37 @@ def test_layered_spec_strings():
         )
 
 
-def test_dup_graph_rejected_for_exact_kinds():
-    spec = get_code("ccsds/1024/12")  # multi-edge protograph (dup columns)
+@pytest.fixture(scope="module")
+def ccsds_case():
+    """Multi-edge protograph (intra-layer duplicate block-columns) — the
+    classic-exact sweep's reason to exist (VERDICT r2 item 7)."""
+    spec = get_code("ccsds/1024/12")
     graph = compile_qc_graph(spec)
-    with pytest.raises(NotImplementedError, match="dup-free"):
-        make_layered_pallas_decoder(graph, kind="spa")
-    with pytest.raises(NotImplementedError, match="dup"):
-        decode_layered(graph, jnp.zeros((2, spec.n)), cn="spa", max_iters=2)
+    key = jax.random.key(5)
+    # random LLRs around a noisy all-zero codeword keep both decode
+    # outcomes present without needing the AR4JA encoder here
+    llr = 2.0 + 1.8 * jax.random.normal(key, (16, spec.n), jnp.float32)
+    return spec, graph, llr
+
+
+@pytest.mark.parametrize("kind", ["spa", "minstar"])
+@pytest.mark.parametrize("early_term", [True, False])
+def test_layered_exact_kind_multiedge_bit_exact(ccsds_case, kind, early_term):
+    """Exact BP on a DUP graph: the Pallas classic-exact sweep must be
+    bit-exact vs the oracle's dup path (r2 item 7 — previously both
+    tiers raised NotImplementedError)."""
+    spec, graph, llr = ccsds_case
+    dec = make_layered_pallas_decoder(
+        graph, kind=kind, max_iters=6, early_term=early_term,
+        interpret=True, batch_tile=16,
+    )
+    got = dec(llr)
+    want = decode_layered(graph, llr, cn=kind, max_iters=6,
+                          early_term=early_term)
+    assert np.array_equal(np.asarray(got.bits), np.asarray(want.bits))
+    assert np.array_equal(np.asarray(got.ok), np.asarray(want.ok))
+    assert np.array_equal(
+        np.asarray(got.iterations), np.asarray(want.iterations)
+    )
+    # the parity must be exercised by a mixed population
+    assert 0 < np.asarray(got.ok).sum() < len(np.asarray(got.ok))
