@@ -145,18 +145,31 @@ def _kernel(
         done = jnp.maximum(done, 1.0 - fail)
         return V, total, done, iters, it + 1
 
-    carry = (V, total, done, iters, jnp.zeros((), jnp.int32))
     if early_term:
+        carry = (V, total, done, iters, jnp.zeros((), jnp.int32))
+
         def cond(carry):
             _, _, done, _, it = carry
             return (it < max_iters) & (jnp.min(done) < 0.5)
 
-        carry = jax.lax.while_loop(cond, body, carry)
+        _, total, done, iters, _ = jax.lax.while_loop(cond, body, carry)
     else:
-        carry = jax.lax.fori_loop(
-            0, max_iters, lambda _, c: body(c), carry
-        )
-    _, total, done, iters, _ = carry
+        # pure fixed-iteration benchmark mode (twin of the layered
+        # kernel's): no per-iteration syndrome matmul, no freeze masks —
+        # literally max_iters update steps, truthful syndrome at the end
+        def pure_body(_, c):
+            V, total = c
+            C = cn(V, mask3)
+            Cflat = C.reshape(m_pad * dc, Bt)
+            new_total = llr + dot(S, Cflat)
+            newV = jnp.where(
+                mask3, dot(St, new_total).reshape(m_pad, dc, Bt) - C, 0.0
+            )
+            return newV, new_total
+
+        _, total = jax.lax.fori_loop(0, max_iters, pure_body, (V, total))
+        done = 1.0 - syndrome_fail(total)
+        iters = jnp.full_like(done, float(max_iters))
     bits_ref[:] = (total < 0).astype(jnp.float32)
     ok_ref[:] = done
     iters_ref[:] = iters

@@ -105,17 +105,32 @@ def decode_flooding_mm(
         done = done | ~fail
         return V, total, done, iters
 
-    state = (V0, total0, done0, iters0)
     if early_term:
+        state = (V0, total0, done0, iters0)
+
         def cond(state):
             _, _, done, iters = state
             return (iters.max() < max_iters) & ~jnp.all(done)
 
-        state = jax.lax.while_loop(cond, body, state)
+        _, total, done, iters = jax.lax.while_loop(cond, body, state)
     else:
-        state = jax.lax.fori_loop(0, max_iters, lambda _, s: body(s), state)
+        # pure fixed-iteration mode (benchmark semantics, twin of the
+        # fused_mm kernel's): no per-iteration syndrome, no freeze;
+        # truthful syndrome over the emitted bits at the end
+        def pure_body(_, s):
+            V, total = s
+            C = cn_op(V, mask3)
+            Cflat = C.reshape(m * dc, B)
+            new_total = llr_t + _mm(ops.S, Cflat)
+            newV = jnp.where(
+                mask3, _mm(St, new_total).reshape(m, dc, B) - C, 0.0
+            )
+            return newV, new_total
 
-    _, total, done, iters = state
+        _, total = jax.lax.fori_loop(0, max_iters, pure_body, (V0, total0))
+        done = ~syndrome_fail(total)
+        iters = iters0 + max_iters
+
     bits = (total < 0).astype(jnp.uint8).T
     return DecodeResult(bits=bits, ok=done, iterations=iters)
 

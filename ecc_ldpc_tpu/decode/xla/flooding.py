@@ -69,18 +69,33 @@ def decode_flooding(
         done = done | ~fail
         return V, total, done, iters
 
-    state = (V0, total0, done0, iters0)
     if early_term:
+        state = (V0, total0, done0, iters0)
+
         def cond(state):
             _, _, done, iters = state
             return (iters.max() < max_iters) & ~jnp.all(done)
 
-        state = jax.lax.while_loop(cond, body, state)
+        _, total, done, iters = jax.lax.while_loop(cond, body, state)
     else:
-        # Fixed-iteration mode (the benchmark configuration: exactly
-        # max_iters flooding iterations, BASELINE.json:2).
-        state = jax.lax.fori_loop(0, max_iters, lambda _, s: body(s), state)
+        # PURE fixed-iteration mode (the benchmark configuration: exactly
+        # max_iters flooding iterations, BASELINE.json:2) — no
+        # per-iteration syndrome, no freeze; truthful syndrome at the
+        # end. Same semantics as every other tier's noet path
+        # (flooding_qc roll/pallas, fused_mm, dense_mm, layered).
+        def pure_body(_, s):
+            V, total = s
+            C = cn_op(V, mask3)
+            Cv = C.reshape(graph.m * graph.dc_max, B)[graph.vn_edge]
+            new_total = llr_t + jnp.sum(
+                jnp.where(graph.vn_mask[:, :, None], Cv, 0.0), axis=1
+            )
+            newV = jnp.where(mask3, new_total[graph.cn_vn] - C, 0.0)
+            return newV, new_total
 
-    _, total, done, iters = state
+        _, total = jax.lax.fori_loop(0, max_iters, pure_body, (V0, total0))
+        done = ~_syndrome_fail(graph, (total < 0).astype(jnp.int32))
+        iters = iters0 + max_iters
+
     bits = (total < 0).astype(jnp.uint8).T  # [B, n]
     return DecodeResult(bits=bits, ok=done, iterations=iters)

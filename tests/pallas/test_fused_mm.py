@@ -51,9 +51,12 @@ def test_pallas_fixed_vs_early_term(small):
                      backend="pallas")(llr)
     b = make_decoder(graph, "minsum", max_iters=15, early_term=False,
                      backend="pallas")(llr)
-    # freeze semantics make both modes produce identical outputs
+    # fixed-iteration mode is PURE (no freeze — benchmark semantics, twin
+    # of the layered kernel's): converged frames keep iterating, which is
+    # sign-stable, so bits/ok agree; iterations report the fixed count
     assert np.array_equal(np.asarray(a.bits), np.asarray(b.bits))
-    assert np.array_equal(np.asarray(a.iterations), np.asarray(b.iterations))
+    assert np.array_equal(np.asarray(a.ok), np.asarray(b.ok))
+    assert np.all(np.asarray(b.iterations) == 15)
 
 
 def test_pallas_nonaligned_batch(small):
