@@ -6,9 +6,18 @@ step (SURVEY.md §2.1 R10), this kernel keeps the entire message state in
 VMEM across all iterations — the roofline in SURVEY.md §6 shows per-
 iteration HBM round-trips forfeit ~an order of magnitude.
 
+Edge state is stored DC-MAJOR: edge e = j*m_pad + i (slot j of check i),
+so slab j = V[j*m_pad:(j+1)*m_pad] is a clean (8,128)-tiled 2D block per
+check-slot. The production layout used to be [m, dc, Bt] (dc on the
+sublane-tiled axis): with dc=6 every slab padded 6->8 sublanes and every
+reshape to/from the matmul's flat [m*dc, Bt] form relayouted — measured
+2026-08-20 (experiments/smallcode_opt2.py, honest differential timing):
+dc-major + the slab-unrolled CN below took mackay1008 fixed-25 min-sum
+from 169 -> 257 Mbit/s/chip.
+
 In-kernel data flow per iteration (per batch tile, everything VMEM-resident):
 
-  C    = cn_update(V)            VPU   two-min + sign product, [m, dc, Bt]
+  C    = cn_update(V)            VPU   slab tournament two-min + bitxor signs
   tot  = llr + S @ C             MXU   VN accumulate as incidence matmul
   V    = St @ tot - C            MXU   edge re-expansion
   par  = (H @ (tot<0)) mod 2     MXU   syndrome
@@ -19,12 +28,20 @@ by the 0/1 incidence operators S [n, m*dc] / S^T — the MXU-native form (and
 the only TPU-viable one here: the platform compiler crashes on XLA
 gather->reduce->gather chains, and Pallas TPU has no vector-gather).
 
-All shapes are padded to MXU/VPU tiles (n, m*dc -> multiples of 128; batch
-tile Bt on lanes). Padding is arithmetically neutral: padded edges are
-masked, padded variables see llr=0, padded checks have empty rows.
+All shapes are padded to MXU/VPU tiles (n -> multiple of 128, m -> multiple
+of 128 so each slab tiles evenly; batch tile Bt on lanes). Padding is
+arithmetically neutral: padded edges are masked, padded variables see llr=0,
+padded checks have empty rows.
 
-Numerics are f32 end-to-end => bit-identical to decode/xla/dense_mm.py
-(same op order), which tests/pallas/ verifies in interpret mode.
+Numerics at mxu_dtype=f32 are bit-identical to decode/xla/dense_mm.py
+(same schedule; CN forms provably equal — tournament two-min/bitxor vs
+is-min-count/sign-product), which tests/pallas/ verifies in interpret
+mode. mxu_dtype='auto' selects bf16 operators + bf16-rounded matmul
+inputs for MIN-SUM on a real TPU backend (0/1 operators are exact in
+bf16; min-sum is quantization-robust — measured FER identical at the
+mackay1008 operating point, tests/decode/test_quantized.py shows the
+same at 6-bit messages) and f32 everywhere else, so CPU/interpret stays
+the oracle twin and the spa golden tier keeps f32 end-to-end.
 """
 from __future__ import annotations
 
@@ -40,61 +57,95 @@ from jax.experimental.pallas import tpu as pltpu
 from ...graph.compile import CompiledGraph
 from ..types import DecodeResult
 
-_MAG_CAP = 1e12  # keep padded-slot inf out of downstream arithmetic
+_MAG_CAP = 1e12  # padded-slot sentinel magnitude; also caps degree-1 rows
+_SGN = np.int32(-(2**31))  # f32 sign bit
 
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _sign_prod(V3, mask3):
-    """Row sign product as negative-count parity (reduce_prod has no Pallas
-    TPU lowering); identical to prod of {+1,-1} with masked slots -> +1."""
-    neg = jnp.where(mask3, (V3 < 0).astype(jnp.float32), 0.0)
-    cnt = jnp.sum(neg, axis=1, keepdims=True)
-    return 1.0 - 2.0 * (cnt - 2.0 * jnp.floor(cnt * 0.5))
+def _cn_minsum_slabs(V, masks, m_pad: int, dc: int, alpha: float, beta: float):
+    """Min-sum CN update on dc-major [dc*m_pad, Bt] edge state.
+
+    Unrolled tournament two-min per slab + int32 sign-bit XOR accumulate.
+    Tie-robust: the tournament's m2 tracks the second-smallest COUNTING
+    duplicates, so `where(a == m1, m2, m1)` yields min1 for every slot of
+    a duplicated minimum — exactly cn_ops.cn_minsum's is-min/count rule.
+    All ops are exact (min/max/compare/bit ops; the only rounding is
+    alpha*mag-beta, shared with the oracle), so outputs are bit-identical
+    to the [m, dc, B] oracle form.
+    """
+    slabs_a = []
+    slabs_sb = []
+    m1 = None
+    m2 = None
+    sx = None
+    for j in range(dc):
+        v = V[j * m_pad:(j + 1) * m_pad]
+        a = jnp.where(masks[j], jnp.abs(v), _MAG_CAP)
+        # (v < 0), not the raw sign bit: -0.0 must count positive to match
+        # the oracle's sign-product convention
+        sb = jnp.where(v < 0, _SGN, 0)
+        slabs_a.append(a)
+        slabs_sb.append(sb)
+        if j == 0:
+            m1, m2 = a, jnp.full_like(a, _MAG_CAP)
+            sx = sb
+        else:
+            nm1 = jnp.minimum(m1, a)
+            m2 = jnp.minimum(jnp.maximum(m1, a), m2)
+            m1 = nm1
+            sx = jax.lax.bitwise_xor(sx, sb)
+    outs = []
+    for j in range(dc):
+        a, sb = slabs_a[j], slabs_sb[j]
+        mag = jnp.where(a == m1, m2, m1)
+        mag = jnp.maximum(alpha * mag - beta, 0.0)
+        sgn = jax.lax.bitwise_xor(sx, sb)
+        c = jax.lax.bitcast_convert_type(
+            jax.lax.bitwise_xor(
+                jax.lax.bitcast_convert_type(mag, jnp.int32), sgn
+            ),
+            jnp.float32,
+        )
+        outs.append(jnp.where(masks[j], c, 0.0))
+    return jnp.concatenate(outs, axis=0)
 
 
-def _cn_minsum_3d(V3, mask3, alpha: float, beta: float):
-    """Two-min CN update on [m, dc, Bt]; tie-robust without argmin/one_hot
-    (provably identical to cn_ops.cn_minsum — see tests/pallas/)."""
-    s = jnp.where(V3 < 0, -1.0, 1.0)
-    s = jnp.where(mask3, s, 1.0)
-    a = jnp.where(mask3, jnp.abs(V3), jnp.inf)
-    sgn_prod = _sign_prod(V3, mask3)
-    min1 = jnp.min(a, axis=1, keepdims=True)
-    is_min = a == min1
-    count_min = jnp.sum(is_min.astype(jnp.float32), axis=1, keepdims=True)
-    min2 = jnp.min(jnp.where(is_min, jnp.inf, a), axis=1, keepdims=True)
-    mag = jnp.where(is_min & (count_min == 1.0), min2, min1)
-    mag = jnp.minimum(mag, _MAG_CAP)
-    mag = jnp.maximum(alpha * mag - beta, 0.0)
-    C = (sgn_prod * s) * mag
-    return jnp.where(mask3, C, 0.0)
-
-
-def _cn_spa_3d(V3, mask3):
-    """SPA tanh CN update on [m, dc, Bt] (mirrors cn_ops.cn_spa)."""
-    s = jnp.where(V3 < 0, -1.0, 1.0)
-    s = jnp.where(mask3, s, 1.0)
-    a = jnp.where(mask3, jnp.abs(V3), jnp.inf)
-    lt = jnp.log(jnp.tanh(jnp.clip(a, 1e-10, 40.0) * 0.5))
-    lt = jnp.where(mask3, lt, 0.0)
-    loo = jnp.sum(lt, axis=1, keepdims=True) - lt
-    t = jnp.clip(jnp.exp(loo), None, 1.0 - 1e-7)
-    # 2*arctanh(t) in the log1p form: Mosaic has no atanh lowering
-    # (hit on real TPU, mackay spa golden regen 2026-08-20); same
-    # expression the layered/flooding QC kernels use
-    mag = jnp.log1p(t) - jnp.log1p(-t)
-    sgn_prod = _sign_prod(V3, mask3)
-    return jnp.where(mask3, (sgn_prod * s) * mag, 0.0)
-
-
-def _dot(A, x):
-    return jax.lax.dot_general(
-        A, x, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+def _cn_spa_slabs(V, masks, m_pad: int, dc: int):
+    """SPA tanh CN update on dc-major [dc*m_pad, Bt] (mirrors cn_ops.cn_spa:
+    log-tanh sum, leave-one-out, 2*arctanh in the log1p form — Mosaic has
+    no atanh lowering, hit on real TPU during the mackay spa golden regen
+    2026-08-20)."""
+    slabs_lt = []
+    slabs_sb = []
+    acc = None
+    sx = None
+    for j in range(dc):
+        v = V[j * m_pad:(j + 1) * m_pad]
+        a = jnp.abs(v)
+        lt = jnp.log(jnp.tanh(jnp.clip(a, 1e-10, 40.0) * 0.5))
+        lt = jnp.where(masks[j], lt, 0.0)
+        sb = jnp.where(v < 0, _SGN, 0)
+        slabs_lt.append(lt)
+        slabs_sb.append(sb)
+        acc = lt if j == 0 else acc + lt
+        sx = sb if j == 0 else jax.lax.bitwise_xor(sx, sb)
+    outs = []
+    for j in range(dc):
+        loo = acc - slabs_lt[j]
+        t = jnp.clip(jnp.exp(loo), None, 1.0 - 1e-7)
+        mag = jnp.log1p(t) - jnp.log1p(-t)
+        sgn = jax.lax.bitwise_xor(sx, slabs_sb[j])
+        c = jax.lax.bitcast_convert_type(
+            jax.lax.bitwise_xor(
+                jax.lax.bitcast_convert_type(mag, jnp.int32), sgn
+            ),
+            jnp.float32,
+        )
+        outs.append(jnp.where(masks[j], c, 0.0))
+    return jnp.concatenate(outs, axis=0)
 
 
 def _kernel(
@@ -107,17 +158,21 @@ def _kernel(
     S = S_ref[:]      # [n_pad, e_pad]   (f32 or bf16; 0/1 exact either way)
     St = St_ref[:]    # [e_pad, n_pad]
     H = H_ref[:]      # [m2_pad, n_pad]
-    mask3 = mask_ref[:].reshape(m_pad, dc, 1) > 0.5
-    Bt = llr.shape[1]
     md = S.dtype  # matmul input dtype: bf16 runs the MXU at full rate
+    # per-slab mask columns [m_pad, 1], broadcast over lanes
+    masks = [mask_ref[j, :].reshape(m_pad, 1) > 0.5 for j in range(dc)]
 
     def dot(A, x):
-        return _dot(A, x.astype(md))
+        return jax.lax.dot_general(
+            A, x.astype(md), dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     if kind == "spa":
-        cn = functools.partial(_cn_spa_3d)
+        cn = functools.partial(_cn_spa_slabs, masks=masks, m_pad=m_pad, dc=dc)
     else:
-        cn = functools.partial(_cn_minsum_3d, alpha=alpha, beta=beta)
+        cn = functools.partial(_cn_minsum_slabs, masks=masks, m_pad=m_pad,
+                               dc=dc, alpha=alpha, beta=beta)
 
     def syndrome_fail(total):  # -> f32 [1, Bt], 1.0 where some check fails
         hard = (total < 0).astype(jnp.float32)
@@ -125,33 +180,34 @@ def _kernel(
         par = cnt - 2.0 * jnp.floor(cnt * 0.5)
         return jnp.max(par, axis=0, keepdims=True)
 
-    V = jnp.where(mask3, dot(St, llr).reshape(m_pad, dc, Bt), 0.0)
+    # init: V_e = llr[v(e)] on live edges, 0 on padded (St rows of padded
+    # edges are all-zero, so the matmul masks for free)
+    V = dot(St, llr)
     total = llr
-    fail0 = syndrome_fail(total)
-    done = 1.0 - fail0  # f32 [1, Bt]
-    iters = jnp.zeros_like(done)
-
-    def body(carry):
-        V, total, done, iters, it = carry
-        C = cn(V, mask3)
-        Cflat = C.reshape(m_pad * dc, Bt)
-        new_total = llr + dot(S, Cflat)
-        newV = jnp.where(mask3, dot(St, new_total).reshape(m_pad, dc, Bt) - C, 0.0)
-        fail = syndrome_fail(new_total)
-        keep = done > 0.5
-        V = jnp.where(keep[:, None, :], V, newV)
-        total = jnp.where(keep, total, new_total)
-        iters = iters + (1.0 - done)
-        done = jnp.maximum(done, 1.0 - fail)
-        return V, total, done, iters, it + 1
 
     if early_term:
-        carry = (V, total, done, iters, jnp.zeros((), jnp.int32))
+        fail0 = syndrome_fail(total)
+        done = 1.0 - fail0  # f32 [1, Bt]
+        iters = jnp.zeros_like(done)
+
+        def body(carry):
+            V, total, done, iters, it = carry
+            C = cn(V)
+            new_total = llr + dot(S, C)
+            newV = dot(St, new_total) - C
+            fail = syndrome_fail(new_total)
+            keep = done > 0.5
+            V = jnp.where(keep, V, newV)
+            total = jnp.where(keep, total, new_total)
+            iters = iters + (1.0 - done)
+            done = jnp.maximum(done, 1.0 - fail)
+            return V, total, done, iters, it + 1
 
         def cond(carry):
             _, _, done, _, it = carry
             return (it < max_iters) & (jnp.min(done) < 0.5)
 
+        carry = (V, total, done, iters, jnp.zeros((), jnp.int32))
         _, total, done, iters, _ = jax.lax.while_loop(cond, body, carry)
     else:
         # pure fixed-iteration benchmark mode (twin of the layered
@@ -159,12 +215,9 @@ def _kernel(
         # literally max_iters update steps, truthful syndrome at the end
         def pure_body(_, c):
             V, total = c
-            C = cn(V, mask3)
-            Cflat = C.reshape(m_pad * dc, Bt)
-            new_total = llr + dot(S, Cflat)
-            newV = jnp.where(
-                mask3, dot(St, new_total).reshape(m_pad, dc, Bt) - C, 0.0
-            )
+            C = cn(V)
+            new_total = llr + dot(S, C)
+            newV = dot(St, new_total) - C
             return newV, new_total
 
         _, total = jax.lax.fori_loop(0, max_iters, pure_body, (V, total))
@@ -184,21 +237,25 @@ def supports(graph: CompiledGraph) -> bool:
 
 
 def build_operators(graph: CompiledGraph, n_pad: int, m_pad: int, m2_pad: int):
-    """Padded incidence operators (host-side, NumPy)."""
+    """Padded dc-major incidence operators (host-side, NumPy).
+
+    Edge index e = j*m_pad + i. A live edge (check i, slot j, variable v)
+    sets S[v, e] = 1; padded slots/rows stay zero everywhere, and the
+    returned mask is [dc, m_pad] (slab-major, matching the kernel)."""
     m, n, dc = graph.m, graph.n, graph.dc_max
     e_pad = m_pad * dc
     cn_vn = np.asarray(graph.cn_vn)
     cn_mask = np.asarray(graph.cn_mask)
     S = np.zeros((n_pad, e_pad), dtype=np.float32)
     H = np.zeros((m2_pad, n_pad), dtype=np.float32)
-    maskf = np.zeros((m_pad, dc), dtype=np.float32)
+    maskf = np.zeros((dc, m_pad), dtype=np.float32)
     for i in range(m):
         for j in range(dc):
             if cn_mask[i, j]:
                 v = int(cn_vn[i, j])
-                S[v, i * dc + j] = 1.0
+                S[v, j * m_pad + i] = 1.0
                 H[i, v] = 1.0
-                maskf[i, j] = 1.0
+                maskf[j, i] = 1.0
     return S, S.T.copy(), H, maskf
 
 
@@ -213,20 +270,29 @@ def make_pallas_decoder(
     jit: bool = True,
     batch_tile: int = 128,
     interpret: Optional[bool] = None,
-    mxu_dtype=jnp.float32,
+    mxu_dtype="auto",
 ):
     """decode(llr [B, n]) -> DecodeResult via the fused VMEM-resident kernel.
 
     interpret=None auto-selects interpreter mode off-TPU (the CI strategy of
     SURVEY.md §4.2 item 3: the XLA tier is the oracle, interpret mode the
-    bridge). mxu_dtype=bf16 stores the incidence operators in bf16 (0/1 is
-    exact) and rounds messages to bf16 at the matmul inputs — ~8x MXU rate
-    at the cost of message quantization; f32 stays bit-exact with the
-    oracle."""
+    bridge). mxu_dtype: 'auto' picks bf16 for min-sum on a real TPU backend
+    (measured +60% at identical FER, module docstring) and f32 otherwise;
+    an explicit jnp dtype forces it. f32 stays bit-exact with the oracle;
+    bf16 stores the incidence operators in bf16 (0/1 is exact) and rounds
+    messages to bf16 at the matmul inputs."""
     if kind not in ("minsum", "spa"):
         raise KeyError(f"pallas fused decoder supports spa/minsum, not {kind!r}")
+    if mxu_dtype == "auto":
+        mxu_dtype = (
+            jnp.bfloat16
+            if kind == "minsum"
+            and interpret is not True
+            and jax.default_backend() == "tpu"
+            else jnp.float32
+        )
     n_pad = _round_up(graph.n, 128)
-    m_pad = _round_up(graph.m, 128 // 8 * 8)  # sublane-friendly; dc stays
+    m_pad = _round_up(graph.m, 128)  # slabs tile (8,128) evenly
     m2_pad = _round_up(graph.m, 8)
     e_pad = m_pad * graph.dc_max
     S, St, H, maskf = build_operators(graph, n_pad, m_pad, m2_pad)
@@ -277,7 +343,7 @@ def make_pallas_decoder(
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((m2_pad, n_pad), lambda b: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((m_pad, graph.dc_max), lambda b: (0, 0),
+                pl.BlockSpec((graph.dc_max, m_pad), lambda b: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=(
