@@ -91,39 +91,54 @@ def time_fn(f, *args, tries: int = 5):
 def chained_decode_time(dec, llr, chain: int = 20, tries: int = 3) -> float:
     """Per-decode DEVICE time: run `chain` decodes inside one jit, each
     consuming a perturbation of the previous output (so no call can be
-    elided or overlapped dishonestly), fetch one scalar, divide by chain.
+    elided or overlapped dishonestly), fetch one scalar, and take the
+    DIFFERENTIAL slope between two chain lengths.
 
     This is the per-chip number a production pipeline sees (decode steps
-    back-to-back on device, no host round-trips); it excludes this
-    environment's ~25 ms tunneled per-dispatch artifact, which would not
-    exist on directly-attached hardware."""
+    back-to-back on device, no host round-trips). A single divide-by-chain
+    does NOT exclude this environment's tunneled per-dispatch artifact: a
+    trivial chained jit of ANY length costs a flat ~25 ms end-to-end
+    (measured 2026-08-20: chain 1/10/40 of an elementwise body -> 25.8 /
+    26.8 / 24.9 ms total), so chain=10 silently added ~2.6 ms to every
+    step — 40% of a mackay1008 decode, 2% of the flagship's. Timing the
+    SAME body at `chain` and `3*chain` and dividing the difference by
+    2*chain cancels every per-dispatch constant exactly; only true
+    per-step device time survives."""
     import jax.numpy as jnp
 
-    @jax.jit
-    def run(llr):
-        def body(_, l):
-            res = dec(l)
-            # scalar coupling over a full bit COLUMN: the reduction
-            # reads one bit from every codeword, so every batch-chunk
-            # kernel in the decode stays live (a single-element probe
-            # let XLA dead-code 15 of 16 chunk calls — measured 10x
-            # "speedup"), and decode k+1's input completes only after
-            # decode k's bits exist, keeping the chain strictly
-            # sequential. Unlike the old full-tensor `l + 1e-9*bits`
-            # this costs one scalar update, not ~1 GB of HBM traffic
-            # per step (~3% of measured time that was harness, not
-            # decode, at n=64800 b=2048).
-            probe = jnp.sum(res.bits[:, 0].astype(jnp.float32))
-            return l.at[0, 0].add(1e-9 * probe.astype(l.dtype))
-        out = jax.lax.fori_loop(0, chain, body, llr)
-        return jnp.sum(out[:, 0])
+    def make(c):
+        @jax.jit
+        def run(llr):
+            def body(_, l):
+                res = dec(l)
+                # scalar coupling over a full bit COLUMN: the reduction
+                # reads one bit from every codeword, so every batch-chunk
+                # kernel in the decode stays live (a single-element probe
+                # let XLA dead-code 15 of 16 chunk calls — measured 10x
+                # "speedup"), and decode k+1's input completes only after
+                # decode k's bits exist, keeping the chain strictly
+                # sequential. Unlike the old full-tensor `l + 1e-9*bits`
+                # this costs one scalar update, not ~1 GB of HBM traffic
+                # per step (~3% of measured time that was harness, not
+                # decode, at n=64800 b=2048).
+                probe = jnp.sum(res.bits[:, 0].astype(jnp.float32))
+                return l.at[0, 0].add(1e-9 * probe.astype(l.dtype))
+            out = jax.lax.fori_loop(0, c, body, llr)
+            return jnp.sum(out[:, 0])
+        return run
 
-    float(run(llr))  # compile + warm
+    run_lo, run_hi = make(chain), make(3 * chain)
+    float(run_lo(llr))  # compile + warm
+    float(run_hi(llr))
     outcomes = []
     for _ in range(tries):
         t0 = time.perf_counter()
-        float(run(llr))
-        outcomes.append((time.perf_counter() - t0) / chain)
+        float(run_lo(llr))
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(run_hi(llr))
+        t_hi = time.perf_counter() - t0
+        outcomes.append((t_hi - t_lo) / (2 * chain))
     return float(np.median(outcomes))
 
 
