@@ -89,3 +89,25 @@ def test_pallas_mackay1008(small):
     ref = make_decoder(graph, "minsum", alpha=0.8125, max_iters=25,
                        backend="xla-mm")(llr)
     assert np.array_equal(np.asarray(res.bits), np.asarray(ref.bits))
+
+
+@pytest.mark.parametrize("kind", ["minsum", "spa"])
+def test_pallas_irregular_rows(kind):
+    """Irregular row degrees (802.11n expanded: rows of degree 7 AND 8):
+    the dc-major slab tournament must treat padded slots exactly like the
+    oracle's inf-masked slots — a regular-code fixture never exercises
+    this."""
+    from ecc_ldpc_tpu.codes import get_code
+
+    spec = get_code("80211n/648/12")
+    graph = compile_graph(spec)  # expanded unstructured view
+    key = jax.random.key(21)
+    # all-zero codeword is valid; noisy LLRs around it
+    llr = awgn_llr(key, jnp.zeros((48, spec.n), jnp.uint8), 2.0, spec.rate)
+    res = make_decoder(graph, kind, alpha=0.8125 if kind == "minsum" else 1.0,
+                       max_iters=12, backend="pallas")(llr)
+    ref = make_decoder(graph, kind, alpha=0.8125 if kind == "minsum" else 1.0,
+                       max_iters=12, backend="xla-mm")(llr)
+    assert np.array_equal(np.asarray(res.bits), np.asarray(ref.bits))
+    assert np.array_equal(np.asarray(res.ok), np.asarray(ref.ok))
+    assert np.array_equal(np.asarray(res.iterations), np.asarray(ref.iterations))
