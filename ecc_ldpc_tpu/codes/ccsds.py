@@ -31,9 +31,11 @@ standard exactly; only the permutation choice is surrogate.
 The multi-edge cells mean the QC structure is a QCMultiCode; the roll
 decode tiers (flooding minsum/spa/minstar and both layered tiers via
 their 2-roll accumulate paths) serve it unchanged. Encoding uses the
-dense systematic generator (no dual-diagonal/staircase skeleton), which
-gates to k <= 4096 by spec.dense()'s size guard; k=16384 decodes and
-analyzes fine but has no shipped encoder.
+dense systematic generator (no dual-diagonal/staircase skeleton); all
+nine configurations including k=16384 encode — the 24576x40960 r=1/2
+generator takes a one-time ~260 s GF(2) elimination + G.H^T=0 check on
+the host and is then content-addressed-cached under
+~/.cache/ecc_ldpc_tpu/ (encode/dense.py DenseEncoder.build).
 
 Spec strings: ccsds/<k>/<rate>[/s<seed>] — e.g. ccsds/1024/12,
 ccsds/4096/45. Punctured-node LLRs are zeroed by chan.make_channel like

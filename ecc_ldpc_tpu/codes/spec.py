@@ -84,9 +84,15 @@ class CodeSpec:
         n_tx = self.n - len(self.punctured_cols) - len(self.shortened_cols)
         return self.k / n_tx
 
-    def dense(self) -> np.ndarray:
-        """Dense H as uint8 — only for small codes / tests."""
-        if self.n * self.m > 64_000_000:
+    def dense(self, max_cells: int = 64_000_000) -> np.ndarray:
+        """Dense H as uint8 — only for small codes / tests.
+
+        max_cells guards against accidental multi-GB materialization
+        (DVB-S2 n=64800 would be ~2.1e9 cells); callers that have decided
+        to pay for a large dense H (encode.DenseEncoder.build on codes
+        with no structured encoder, e.g. CCSDS k=16384) raise it
+        explicitly."""
+        if self.n * self.m > max_cells:
             raise ValueError(f"refusing dense H for {self.m}x{self.n}")
         H = np.zeros((self.m, self.n), dtype=np.uint8)
         for i, r in enumerate(self.row_cols):

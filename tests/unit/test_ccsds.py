@@ -98,12 +98,31 @@ def test_encode_decode_roundtrip():
 def test_registry_and_standard_sizes():
     spec = get_code("ccsds/1024/45")
     assert spec.k == 1024 and spec.qc.Z == 128 and spec.n == 11 * 128
-    # k=16384 graphs construct (decode/DE surface); encoder is gated by
-    # the dense-H size guard with a clear error
+    # k=16384 graphs construct; the encoder is served by the large-code
+    # dense-generator path (one-time cached build — exercised by the slow
+    # test below, not here: ~47-260 s cold)
     big = get_code("ccsds/16384/12")
     assert big.k == 16384 and big.qc.Z == 8192
-    with pytest.raises(ValueError):
-        build_encoder(big)
+
+
+@pytest.mark.slow
+def test_encode_k16384_large_generator():
+    """k=16384 encoder end-to-end: cached dense generator, syndrome-zero
+    output, and a second build hitting the content-addressed cache."""
+    import time
+
+    spec = get_code("ccsds/16384/45")
+    enc = build_encoder(spec)
+    assert enc.k == 16384
+    key = jax.random.key(0)
+    msg = jax.random.bernoulli(key, 0.5, (4, spec.k)).astype(jnp.uint8)
+    cw = np.asarray(enc(msg))
+    assert spec.check_syndrome(cw)
+    assert np.array_equal(
+        np.asarray(enc.extract_message(jnp.asarray(cw))), np.asarray(msg))
+    t0 = time.time()
+    build_encoder(spec)  # cache hit
+    assert time.time() - t0 < 30.0
 
 
 def test_de_thresholds_match_published():
