@@ -243,6 +243,24 @@ def cmd_learn(args) -> int:
     return 0
 
 
+def cmd_trap(args) -> int:
+    from ..sim.microscope import harvest
+
+    code = args.code[0] if args.code else "mackay1008"
+    decoder = args.decoder[0] if args.decoder else "minsum/norm:0.8125/25"
+    rep = harvest(code, decoder, ebn0_db=args.ebn0, frames=args.frames,
+                  batch=args.batch, seed=args.seed, channel=args.channel,
+                  backend=args.backend)
+    print(rep.summary())
+    if args.out:
+        import json
+
+        with open(args.out, "w") as f:
+            json.dump(rep.to_json(), f, indent=1)
+        print(f"report -> {args.out}")
+    return 0
+
+
 def cmd_bench(args) -> int:
     code = args.code[0] if args.code else "dvbs2/64800/12"
     decoder = (args.decoder[0] if args.decoder
@@ -350,6 +368,16 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--channel", default="bpsk",
                     help="channel spec (chan/modem.py)")
     sp.set_defaults(fn=cmd_findsnr)
+
+    sp = sub.add_parser(
+        "trap", help="harvest + classify decoder failures as (a,b) "
+                     "trapping sets (error-floor microscopy)")
+    common(sp)
+    sp.add_argument("--ebn0", type=float, required=True)
+    sp.add_argument("--frames", type=int, default=1 << 14)
+    sp.add_argument("--channel", default="bpsk")
+    sp.add_argument("--out", default=None, help="write report JSON here")
+    sp.set_defaults(fn=cmd_trap)
 
     sp = sub.add_parser("bench", help="decoded-throughput benchmark")
     common(sp)
