@@ -16,6 +16,22 @@ compact channel-spec string surface, mirroring the decoder-spec strings:
                   modulation; exact bit LLRs from the joint 2-D metric
   qam16, qam64,   Gray square M-QAM over complex AWGN, exact bit LLRs
   qam256          (per-dimension computation, see below)
+  apsk16[:gG]     DVB-S2 16APSK (4+12 rings) / 32APSK (4+12+16 rings)
+  apsk32[:gG:gG]  over complex AWGN, exact joint-2D bit LLRs. Ring-ratio
+                  gamma defaults to the standard's rate-3/4 values
+                  (16APSK 2.85; 32APSK 2.84/5.27) and is settable per
+                  spec (':g2.70'); ring GEOMETRY is the standard's
+                  [recalled HIGH for 16APSK, MEDIUM for the 32APSK outer
+                  ring offset], but the per-point BIT LABELING is a
+                  deterministic quasi-Gray SURROGATE (swap-descent
+                  minimization of distance-weighted Hamming cost, seeded)
+                  — the standard's exact labeling figure is not reliably
+                  recallable offline, and a quasi-Gray label is the
+                  principle it was built on. Append ':il' to any
+                  multi-bit/symbol spec for the DVB-S2 block bit
+                  interleaver (write column-wise, read row-wise;
+                  EN 302 307 §5.3.3, sans the 8PSK-rate-3/5 special
+                  column order).
 
 TPU-first notes:
   * The QAM mapper avoids gathers entirely (this platform's TPU compiler
@@ -254,6 +270,183 @@ def psk_awgn_llr(key: jax.Array, bits: jax.Array, ebn0_db, rate,
     return llr.reshape(*bits.shape)
 
 
+# ---------------------------------------------------------------------------
+# DVB-S2 APSK (EN 302 307 §5.4.3/§5.4.4): 16APSK = 4+12, 32APSK = 4+12+16
+# ---------------------------------------------------------------------------
+
+# Standard ring-ratio tables per LDPC code rate [recalled MEDIUM-HIGH]:
+APSK16_GAMMA = {"23": 3.15, "34": 2.85, "45": 2.75, "56": 2.70,
+                "89": 2.60, "910": 2.57}
+APSK32_GAMMA = {"34": (2.84, 5.27), "45": (2.72, 4.87), "56": (2.64, 4.64),
+                "89": (2.54, 4.33), "910": (2.53, 4.30)}
+
+
+def _quasi_gray_labels(xi, xq, bits: int, seed: int = 5, restarts: int = 8):
+    """Deterministic quasi-Gray labeling: minimize sum over point pairs of
+    exp(-d^2) * Hamming(label_i, label_j) by pairwise-swap descent from
+    seeded random starts. A surrogate for the standard's (quasi-Gray)
+    mapping figure; see module docstring."""
+    M = len(xi)
+    d2 = (xi[:, None] - xi[None, :]) ** 2 + (xq[:, None] - xq[None, :]) ** 2
+    w = np.exp(-d2)
+    np.fill_diagonal(w, 0.0)
+    pop = np.arange(M)
+    hamming = np.zeros((M, M))
+    for a in range(M):
+        for b in range(M):
+            hamming[a, b] = bin(a ^ b).count("1")
+
+    def cost(lab):
+        return float(np.sum(w * hamming[np.ix_(lab, lab)]))
+
+    rng = np.random.default_rng(seed)
+    best_lab, best_c = None, np.inf
+    for _ in range(restarts):
+        lab = rng.permutation(pop)
+        c = cost(lab)
+        improved = True
+        while improved:
+            improved = False
+            for i in range(M):
+                for j in range(i + 1, M):
+                    lab[i], lab[j] = lab[j], lab[i]
+                    c2 = cost(lab)
+                    if c2 < c - 1e-12:
+                        c = c2
+                        improved = True
+                    else:
+                        lab[i], lab[j] = lab[j], lab[i]
+        if c < best_c:
+            best_c, best_lab = c, lab.copy()
+    return best_lab
+
+
+def apsk_rings(M: int, gamma):
+    """(radii per ring, angles per ring) for unit-mean-energy DVB-S2 APSK."""
+    if M == 16:
+        g = float(gamma[0]) if isinstance(gamma, (tuple, list)) else float(gamma)
+        r1 = math.sqrt(16.0 / (4.0 + 12.0 * g * g))
+        rings = [(r1, 4, math.pi / 4), (g * r1, 12, math.pi / 12)]
+    elif M == 32:
+        g1, g2 = (float(gamma[0]), float(gamma[1]))
+        r1 = math.sqrt(32.0 / (4.0 + 12.0 * g1 * g1 + 16.0 * g2 * g2))
+        rings = [(r1, 4, math.pi / 4), (g1 * r1, 12, math.pi / 12),
+                 (g2 * r1, 16, 0.0)]
+    else:
+        raise ValueError(f"APSK supports M in (16, 32), not {M}")
+    return rings
+
+
+_APSK_CACHE = {}
+
+
+def apsk_tables(M: int, gamma):
+    """(xi[M], xq[M], bit_table[M, b], lut_i[M], lut_q[M]) — point lists
+    plus label->point luts (lut[label] = coordinate), cached per gamma."""
+    gkey = tuple(gamma) if isinstance(gamma, (tuple, list)) else (float(gamma),)
+    key = (M, gkey)
+    if key in _APSK_CACHE:
+        return _APSK_CACHE[key]
+    xs, ys = [], []
+    for r, cnt, off in apsk_rings(M, gamma):
+        for k in range(cnt):
+            ang = off + 2.0 * math.pi * k / cnt
+            xs.append(r * math.cos(ang))
+            ys.append(r * math.sin(ang))
+    xi = np.asarray(xs)
+    xq = np.asarray(ys)
+    b = int(round(math.log2(M)))
+    labels = _quasi_gray_labels(xi, xq, b)
+    bit_table = np.zeros((M, b), dtype=np.int64)
+    for i in range(M):
+        for j in range(b):
+            bit_table[i, j] = (labels[i] >> (b - 1 - j)) & 1
+    lut_i = np.zeros(M)
+    lut_q = np.zeros(M)
+    lut_i[labels] = xi
+    lut_q[labels] = xq
+    out = (xi, xq, bit_table, lut_i, lut_q)
+    _APSK_CACHE[key] = out
+    return out
+
+
+def apsk_modulate(bits: jax.Array, M: int, gamma):
+    """bits [..., n] -> (xi, xq) [..., n/b]; gather-free compare-mask map."""
+    b = int(round(math.log2(M)))
+    n = bits.shape[-1]
+    if n % b:
+        raise ValueError(f"codeword length {n} not divisible by {b} bits/symbol")
+    _, _, _, lut_i, lut_q = apsk_tables(M, gamma)
+    sym = bits.reshape(*bits.shape[:-1], n // b, b).astype(jnp.int32)
+    v = jnp.zeros(sym.shape[:-1], jnp.int32)
+    for j in range(b):
+        v = v + sym[..., j] * (1 << (b - 1 - j))
+    xi = jnp.zeros(v.shape, jnp.float32)
+    xq = jnp.zeros(v.shape, jnp.float32)
+    for k in range(M):
+        sel = v == k
+        xi = xi + jnp.float32(lut_i[k]) * sel
+        xq = xq + jnp.float32(lut_q[k]) * sel
+    return xi, xq
+
+
+def const_bit_llrs(yi, yq, xi, xq, bit_table, sigma):
+    """Exact per-bit LLRs from the joint 2-D metric for ANY constellation
+    point list (the 8PSK demapper's accumulation generalized)."""
+    bits_per_sym = bit_table.shape[1]
+    inv2s2 = 1.0 / (2.0 * sigma * sigma)
+    neg_inf = jnp.float32(-1e30)
+    acc0 = [jnp.full(yi.shape, neg_inf) for _ in range(bits_per_sym)]
+    acc1 = [jnp.full(yi.shape, neg_inf) for _ in range(bits_per_sym)]
+    for i in range(len(xi)):
+        di = yi - jnp.float32(xi[i])
+        dq = yq - jnp.float32(xq[i])
+        metric = -(di * di + dq * dq) * inv2s2
+        for j in range(bits_per_sym):
+            if bit_table[i, j] == 0:
+                acc0[j] = jnp.logaddexp(acc0[j], metric)
+            else:
+                acc1[j] = jnp.logaddexp(acc1[j], metric)
+    return jnp.stack([a0 - a1 for a0, a1 in zip(acc0, acc1)], axis=-1)
+
+
+def apsk_awgn_llr(key: jax.Array, bits: jax.Array, ebn0_db, rate,
+                  M: int, gamma) -> jax.Array:
+    """Transmit `bits` as DVB-S2 M-APSK over complex AWGN; exact bit LLRs."""
+    b = int(round(math.log2(M)))
+    xi_t, xq_t, bit_table, _, _ = apsk_tables(M, gamma)
+    xi, xq = apsk_modulate(bits, M, gamma)
+    ebn0 = 10.0 ** (jnp.asarray(ebn0_db, jnp.float32) / 10.0)
+    sigma = jax.lax.rsqrt(2.0 * b * rate * ebn0)  # per-dimension
+    ki, kq = jax.random.split(key)
+    yi = xi + sigma * jax.random.normal(ki, xi.shape, jnp.float32)
+    yq = xq + sigma * jax.random.normal(kq, xq.shape, jnp.float32)
+    llr = const_bit_llrs(yi, yq, xi_t, xq_t, bit_table, sigma)
+    return llr.reshape(*bits.shape)
+
+
+# ---------------------------------------------------------------------------
+# DVB-S2 block bit interleaver (EN 302 307 §5.3.3)
+# ---------------------------------------------------------------------------
+
+
+def interleave_tx(cw: jax.Array, b: int) -> jax.Array:
+    """Codeword -> transmitted bit order: write column-wise into b columns
+    of n/b rows, read row-wise. Pure reshape/transpose (gather-free)."""
+    n = cw.shape[-1]
+    rows = n // b
+    return cw.reshape(*cw.shape[:-1], b, rows).swapaxes(-1, -2).reshape(
+        *cw.shape[:-1], n)
+
+
+def deinterleave_llr(llr_tx: jax.Array, b: int) -> jax.Array:
+    """Inverse map on received LLRs: transmitted order -> codeword order."""
+    n = llr_tx.shape[-1]
+    rows = n // b
+    return llr_tx.reshape(*llr_tx.shape[:-1], rows, b).swapaxes(-1, -2).reshape(
+        *llr_tx.shape[:-1], n)
+
+
 def uncoded_8psk_ber_approx(ebn0_db):
     """Gray 8PSK uncoded BER, nearest-neighbor approximation:
     Pb ~ (2/3) Q(sqrt(6 Eb/N0) sin(pi/8)) — tight above ~6 dB."""
@@ -355,13 +548,48 @@ def parse_channel_spec(spec: str) -> dict:
         if not 0.0 < eps < 1.0:
             raise ValueError(f"BEC erasure prob must be in (0, 1), got {eps}")
         return {"kind": "bec", "eps": eps}
+    il = False
+    if s.endswith(":il"):
+        il, s = True, s[:-3]
+
+    def _with_il(d):  # keep bare specs' dicts unchanged (il only if set)
+        if il:
+            d["il"] = True
+        return d
+
     if s in _QAM_NAMES:
-        return {"kind": "qam", "M": _QAM_NAMES[s]}
+        return _with_il({"kind": "qam", "M": _QAM_NAMES[s]})
     if s in ("8psk", "psk8"):
-        return {"kind": "psk", "M": 8}
+        return _with_il({"kind": "psk", "M": 8})
+    if s.startswith("apsk16") or s.startswith("apsk32"):
+        M = int(s[4:6])
+        parts = s[6:].split(":") if len(s) > 6 else []
+        gs = []
+        for p in parts:
+            if not p:
+                continue
+            if p.startswith("g"):
+                gs.append(float(p[1:]))
+            elif p.startswith("r"):
+                tab = APSK16_GAMMA if M == 16 else APSK32_GAMMA
+                if p[1:] not in tab:
+                    raise ValueError(
+                        f"unknown APSK rate key {p!r}; one of "
+                        f"{sorted(tab)}")
+                g = tab[p[1:]]
+                gs = list(g) if isinstance(g, tuple) else [g]
+            else:
+                raise ValueError(f"bad APSK option {p!r} in {spec!r}")
+        if not gs:
+            gs = [APSK16_GAMMA["34"]] if M == 16 else list(APSK32_GAMMA["34"])
+        if M == 32 and len(gs) != 2:
+            raise ValueError("apsk32 needs two ring ratios (':gG1:gG2')")
+        gamma = gs[0] if M == 16 else (gs[0], gs[1])
+        return _with_il({"kind": "apsk", "M": M, "gamma": gamma})
     raise ValueError(
         f"unknown channel spec {spec!r} — one of bpsk, hard, rayleigh, "
-        f"bsc:P, bec:EPS, qpsk, 8psk, qam16, qam64, qam256"
+        f"bsc:P, bec:EPS, qpsk, 8psk, qam16, qam64, qam256, "
+        f"apsk16[:rRATE|:gG][:il], apsk32[:rRATE|:gG:gG][:il]"
     )
 
 
@@ -382,12 +610,12 @@ def build_channel(code_spec, channel: str = "bpsk") -> Callable:
     masked = len(punct) or len(short)
     rate = code_spec.rate
 
-    if kind == "qam":
+    if kind in ("qam", "psk", "apsk"):
         M = kw["M"]
         b = int(round(math.log2(M)))
         if masked:
             raise NotImplementedError(
-                f"{channel!r} on {code_spec.name!r}: QAM mapping over "
+                f"{channel!r} on {code_spec.name!r}: symbol mapping over "
                 f"punctured/shortened codes is not supported (the symbol "
                 f"grid would straddle untransmitted bits) — use 'bpsk' "
                 f"or 'hard'"
@@ -397,24 +625,23 @@ def build_channel(code_spec, channel: str = "bpsk") -> Callable:
                 f"{channel!r} needs n divisible by {b} bits/symbol; "
                 f"{code_spec.name!r} has n={code_spec.n}"
             )
-        return lambda key, cw, ebn0_db: qam_awgn_llr(key, cw, ebn0_db, rate, M)
+        if kind == "qam":
+            def tx(key, cw, ebn0_db):
+                return qam_awgn_llr(key, cw, ebn0_db, rate, M)
+        elif kind == "psk":
+            def tx(key, cw, ebn0_db):
+                return psk_awgn_llr(key, cw, ebn0_db, rate, M)
+        else:
+            gamma = kw["gamma"]
 
-    if kind == "psk":
-        M = kw["M"]
-        b = int(round(math.log2(M)))
-        if masked:
-            raise NotImplementedError(
-                f"{channel!r} on {code_spec.name!r}: PSK mapping over "
-                f"punctured/shortened codes is not supported (the symbol "
-                f"grid would straddle untransmitted bits) — use 'bpsk' "
-                f"or 'hard'"
-            )
-        if code_spec.n % b:
-            raise ValueError(
-                f"{channel!r} needs n divisible by {b} bits/symbol; "
-                f"{code_spec.name!r} has n={code_spec.n}"
-            )
-        return lambda key, cw, ebn0_db: psk_awgn_llr(key, cw, ebn0_db, rate, M)
+            def tx(key, cw, ebn0_db):
+                return apsk_awgn_llr(key, cw, ebn0_db, rate, M, gamma)
+        if kw.get("il"):
+            def tx_il(key, cw, ebn0_db, _tx=tx):
+                return deinterleave_llr(
+                    _tx(key, interleave_tx(cw, b), ebn0_db), b)
+            return tx_il
+        return tx
 
     # hard-output channels share the soft path's mask discipline:
     # elementwise mask arithmetic, never scatter (see chan.awgn.make_channel)

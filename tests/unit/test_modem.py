@@ -340,3 +340,134 @@ def test_ldpc_decodes_over_8psk():
         fer[ebn0] = 1.0 - float(jnp.mean(out.ok))
     assert fer[2.5] > 0.5
     assert fer[4.5] == 0.0
+
+
+# ---------------------------------------------------------------- APSK
+
+
+def test_apsk_tables_energy_and_rings():
+    from ecc_ldpc_tpu.chan.modem import apsk_tables
+
+    for M, gamma in ((16, 2.85), (32, (2.84, 5.27))):
+        xi, xq, bit_table, lut_i, lut_q = apsk_tables(M, gamma)
+        r = np.hypot(xi, xq)
+        # unit mean symbol energy
+        np.testing.assert_allclose(np.mean(r**2), 1.0, rtol=1e-12)
+        # ring populations and ratios
+        radii = np.unique(np.round(r, 9))
+        assert len(radii) == (2 if M == 16 else 3)
+        g = gamma if M == 16 else gamma[0]
+        np.testing.assert_allclose(radii[1] / radii[0], g, rtol=1e-7)
+        # labels are a permutation of 0..M-1
+        b = bit_table.shape[1]
+        labels = (bit_table * (1 << np.arange(b - 1, -1, -1))).sum(axis=1)
+        assert sorted(labels.tolist()) == list(range(M))
+
+
+def test_apsk_quasi_gray_beats_identity():
+    """The surrogate labeling's distance-weighted Hamming cost must beat
+    the naive identity labeling (sanity that the optimizer optimizes)."""
+    from ecc_ldpc_tpu.chan.modem import apsk_rings, apsk_tables
+    import math as _m
+
+    xi, xq, bit_table, _, _ = apsk_tables(16, 2.85)
+    b = bit_table.shape[1]
+    labels = (bit_table * (1 << np.arange(b - 1, -1, -1))).sum(axis=1)
+    d2 = (xi[:, None] - xi[None, :]) ** 2 + (xq[:, None] - xq[None, :]) ** 2
+    w = np.exp(-d2)
+    np.fill_diagonal(w, 0.0)
+
+    def cost(lab):
+        ham = np.zeros((16, 16))
+        for i in range(16):
+            for j in range(16):
+                ham[i, j] = bin(int(lab[i]) ^ int(lab[j])).count("1")
+        return float((w * ham).sum())
+
+    assert cost(labels) < cost(np.arange(16))
+
+
+def test_apsk_noiseless_roundtrip():
+    from ecc_ldpc_tpu.chan.modem import apsk_awgn_llr
+
+    key = jax.random.key(3)
+    for M in (16, 32):
+        b = int(math.log2(M))
+        gamma = 2.85 if M == 16 else (2.84, 5.27)
+        bits = jax.random.bernoulli(key, 0.5, (8, 20 * b)).astype(jnp.uint8)
+        llr = apsk_awgn_llr(key, bits, 60.0, 1.0, M, gamma)
+        assert np.array_equal(np.asarray(llr < 0, np.uint8), np.asarray(bits))
+
+
+def test_apsk_llr_matches_bruteforce_2d():
+    from scipy.special import logsumexp
+
+    from ecc_ldpc_tpu.chan.modem import apsk_tables, const_bit_llrs
+
+    xi, xq, bit_table, _, _ = apsk_tables(16, 2.85)
+    rng = np.random.default_rng(11)
+    sigma = 0.35
+    y = rng.normal(size=(64, 2)) * 1.1
+    m = -((y[:, None, 0] - xi[None, :]) ** 2
+          + (y[:, None, 1] - xq[None, :]) ** 2) / (2 * sigma * sigma)
+    ref = np.zeros((64, 4))
+    for j in range(4):
+        ref[:, j] = (logsumexp(m[:, bit_table[:, j] == 0], axis=1)
+                     - logsumexp(m[:, bit_table[:, j] == 1], axis=1))
+    got = np.asarray(const_bit_llrs(
+        jnp.asarray(y[:, 0]), jnp.asarray(y[:, 1]), xi, xq, bit_table, sigma))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_parse_apsk_and_interleave_specs():
+    from ecc_ldpc_tpu.chan.modem import (
+        APSK16_GAMMA, APSK32_GAMMA, parse_channel_spec)
+
+    assert parse_channel_spec("apsk16") == {
+        "kind": "apsk", "M": 16, "gamma": APSK16_GAMMA["34"]}
+    assert parse_channel_spec("apsk16:r56") == {
+        "kind": "apsk", "M": 16, "gamma": APSK16_GAMMA["56"]}
+    assert parse_channel_spec("apsk16:g3.0:il") == {
+        "kind": "apsk", "M": 16, "gamma": 3.0, "il": True}
+    assert parse_channel_spec("apsk32") == {
+        "kind": "apsk", "M": 32, "gamma": APSK32_GAMMA["34"]}
+    assert parse_channel_spec("8psk:il") == {"kind": "psk", "M": 8, "il": True}
+    # bare specs keep their original dict shape (no il key)
+    assert parse_channel_spec("qpsk") == {"kind": "qam", "M": 4}
+    with pytest.raises(ValueError):
+        parse_channel_spec("apsk32:g2.8")  # needs two ratios
+    with pytest.raises(ValueError):
+        parse_channel_spec("apsk16:r12")  # no such rate key
+
+
+def test_interleaver_roundtrip_and_pattern():
+    from ecc_ldpc_tpu.chan.modem import deinterleave_llr, interleave_tx
+
+    n, b = 24, 3
+    cw = jnp.arange(n, dtype=jnp.float32)[None, :]
+    tx = interleave_tx(cw, b)
+    # column-wise write, row-wise read: tx[r*b + c] = cw[c*(n/b) + r]
+    rows = n // b
+    expect = np.array([[c * rows + r for r in range(rows)
+                        for c in range(b)][i] for i in range(n)])
+    # build expected in read order
+    expect = np.array([c * rows + r for r in range(rows) for c in range(b)])
+    np.testing.assert_array_equal(np.asarray(tx[0]).astype(int), expect)
+    back = deinterleave_llr(tx, b)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(cw))
+
+
+def test_ldpc_decodes_over_apsk16_interleaved():
+    """dvbs2/16200 r=1/2 through 'apsk16:r56:il': decodes cleanly at high
+    SNR, fails at very low SNR (channel + interleaver wired end-to-end)."""
+    from ecc_ldpc_tpu.ecc import build_ecc
+
+    ecc = build_ecc("dvbs2/16200/12", "minsum/norm:0.8125/20",
+                    channel="apsk16:r56:il")
+    key = jax.random.key(4)
+    msg = jax.random.bernoulli(key, 0.5, (8, ecc.k)).astype(jnp.uint8)
+    cw = ecc.encode(msg)
+    out_hi = ecc.decode(ecc.transmit(jax.random.fold_in(key, 1), cw, 9.0))
+    assert np.array_equal(np.asarray(out_hi.bits), np.asarray(cw))
+    out_lo = ecc.decode(ecc.transmit(jax.random.fold_in(key, 2), cw, -2.0))
+    assert not np.asarray(out_lo.ok).any()
