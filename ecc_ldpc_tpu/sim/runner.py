@@ -63,6 +63,7 @@ class PointResult:
     code: str
     decoder: str
     ebn0_db: float
+    channel: str = "bpsk"  # channel-spec string the point was measured over
     frames: int = 0
     bit_errors: int = 0
     frame_errors: int = 0
@@ -262,7 +263,7 @@ def run_sweep(
     for pi, ebn0 in enumerate(spec.ebn0_db):
         pr = PointResult(
             code=spec.code, decoder=spec.decoder, ebn0_db=float(ebn0),
-            message_bits_per_frame=pipeline.k,
+            channel=spec.channel, message_bits_per_frame=pipeline.k,
         )
         saved = state.get(spec.point_key(ebn0))
         if saved:
@@ -344,7 +345,7 @@ def run_sweep_sharded(
     state = _load_state(resume_path)
     results = [
         PointResult(code=spec.code, decoder=spec.decoder, ebn0_db=float(e),
-                    message_bits_per_frame=code.k)
+                    channel=spec.channel, message_bits_per_frame=code.k)
         for e in spec.ebn0_db
     ]
     for pr, e in zip(results, spec.ebn0_db):

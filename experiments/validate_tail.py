@@ -36,6 +36,7 @@ FILES = [
     ("dvbs2_16200_12_tpu_golden.json", 65_536),
     ("dvbs2_64800_12_tpu_golden.json", 65_536),
     ("mackay1008_tpu_golden.json", 65_536),
+    ("dvbs2_16200_12_apsk16_tpu_golden.json", 65_536),  # APSK16 channel
     ("dvbs2_64800_12_deep_tpu.json", 131_072),  # 50-iter deep-tail scan
 ]
 
@@ -65,6 +66,7 @@ def main() -> int:
         res = run_sweep(SweepSpec(
             code=code, decoder=decoder,
             ebn0_db=tuple(r.ebn0_db for r in pts),
+            channel=getattr(pts[0], "channel", "bpsk"),
             batch=1024, seed=909,
             stopping=StoppingRule(min_frame_errors=100,
                                   max_frames=max_frames),
