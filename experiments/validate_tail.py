@@ -37,6 +37,7 @@ FILES = [
     ("dvbs2_64800_12_tpu_golden.json", 65_536),
     ("mackay1008_tpu_golden.json", 65_536),
     ("dvbs2_16200_12_apsk16_tpu_golden.json", 65_536),  # APSK16 channel
+    ("dvbs2_16200_12_apsk32_tpu_golden.json", 65_536),  # APSK32 channel
     ("dvbs2_64800_12_deep_tpu.json", 131_072),  # 50-iter deep-tail scan
 ]
 
