@@ -1,6 +1,10 @@
 """Small-code fused_mm throughput experiments (VERDICT r1 item 7:
 mackay1008 at 127 Mbit/s vs its 343 Mbit/s HBM roofline).
 
+SUPERSEDED by smallcode_opt2.py (round 3): the chain=10 timings here
+carried a flat ~25 ms dispatch artifact (~2.6 ms/step), and the "bf16
+neutral" conclusion was a layout effect — see DESIGN.md §3.6.
+
 The incidence-matmul tier multiplies dense 0/1 operators, so it is
 MXU-compute-bound, not HBM-bound: the interesting knobs are the matmul
 input dtype (f32 runs the MXU at a fraction of bf16 rate) and the batch

@@ -89,3 +89,18 @@ def test_cli_plot(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "FER vs Eb/N0" in out and "c | d" in out
     assert "v = error-free" in out
+
+
+def test_trap_command(tmp_path, capsys):
+    out_file = str(tmp_path / "trap.json")
+    rc = main([
+        "trap", "--code", "80211n/648/12", "--decoder",
+        "minsum/norm:0.8125/5", "--ebn0", "1.0", "--frames", "128",
+        "--batch", "128", "--seed", "3", "--out", out_file,
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "failures" in out and "(a,b)" in out
+    data = json.loads(open(out_file).read())
+    assert data["frames"] == 128 and data["n_failures"] > 0
+    assert data["histogram"] and data["dominant_sets"]
