@@ -42,13 +42,21 @@ class PipelineBenchResult:
         })
 
 
-def _chained_time(run, tries: int = 3) -> float:
-    float(run())  # compile + warm
+def _chained_time(make_run, chain: int, tries: int = 3) -> float:
+    """Differential per-step time: the same chained body at chain and
+    3*chain, slope = (T_hi - T_lo)/(2*chain) — cancels this environment's
+    flat ~25 ms per-dispatch constant exactly (bench/throughput.py)."""
+    run_lo, run_hi = make_run(chain), make_run(3 * chain)
+    float(run_lo())  # compile + warm
+    float(run_hi())
     outcomes = []
     for _ in range(tries):
         t0 = time.perf_counter()
-        float(run())
-        outcomes.append(time.perf_counter() - t0)
+        float(run_lo())
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(run_hi())
+        outcomes.append((time.perf_counter() - t0 - t_lo) / (2 * chain))
     return float(np.median(outcomes))
 
 
@@ -78,28 +86,32 @@ def run_pipeline_benchmark(
     # identically zero (systematic codes), collapsing the chain to
     # all-zero frames; the roll keeps every step's input data-dependent
     # and nondegenerate.
-    @jax.jit
-    def run_encode(msg0):
-        def body(_, msg):
-            cw = enc(msg)
-            return jnp.bitwise_xor(
-                msg, jnp.roll(enc.extract_message(cw), 1, axis=1))
-        out = jax.lax.fori_loop(0, chain, body, msg0)
-        return jnp.sum(out[:, 0].astype(jnp.int32))
+    def make_encode(c):
+        @jax.jit
+        def run_encode(msg0):
+            def body(_, msg):
+                cw = enc(msg)
+                return jnp.bitwise_xor(
+                    msg, jnp.roll(enc.extract_message(cw), 1, axis=1))
+            out = jax.lax.fori_loop(0, c, body, msg0)
+            return jnp.sum(out[:, 0].astype(jnp.int32))
+        return lambda: run_encode(msg0)
 
-    @jax.jit
-    def run_pipeline(msg0):
-        def body(t, msg):
-            cw = enc(msg)
-            llr = channel(jax.random.fold_in(key, t), cw, ebn0_db)
-            res = dec(llr)
-            return jnp.bitwise_xor(
-                msg, jnp.roll(enc.extract_message(res.bits), 1, axis=1))
-        out = jax.lax.fori_loop(0, chain, body, msg0)
-        return jnp.sum(out[:, 0].astype(jnp.int32))
+    def make_pipeline(c):
+        @jax.jit
+        def run_pipeline(msg0):
+            def body(t, msg):
+                cw = enc(msg)
+                llr = channel(jax.random.fold_in(key, t), cw, ebn0_db)
+                res = dec(llr)
+                return jnp.bitwise_xor(
+                    msg, jnp.roll(enc.extract_message(res.bits), 1, axis=1))
+            out = jax.lax.fori_loop(0, c, body, msg0)
+            return jnp.sum(out[:, 0].astype(jnp.int32))
+        return lambda: run_pipeline(msg0)
 
-    t_enc = _chained_time(lambda: run_encode(msg0), tries) / chain
-    t_pipe = _chained_time(lambda: run_pipeline(msg0), tries) / chain
+    t_enc = _chained_time(make_encode, chain, tries)
+    t_pipe = _chained_time(make_pipeline, chain, tries)
     bits = batch * spec.k
     return PipelineBenchResult(
         encode_mbps=bits / t_enc / 1e6,

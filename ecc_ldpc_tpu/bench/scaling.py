@@ -73,20 +73,29 @@ def run_scaling(
             jax.sharding.NamedSharding(mesh, P("batch")),
         )
 
-        @jax.jit
-        def chained(llr):
-            def body(_, l):
-                res = sdec(l)
-                return l + 1e-9 * res.bits.astype(jnp.float32)
-            out = jax.lax.fori_loop(0, chain, body, llr)
-            return jnp.sum(out[:, 0])
+        def make(c):
+            @jax.jit
+            def chained(llr):
+                def body(_, l):
+                    res = sdec(l)
+                    return l + 1e-9 * res.bits.astype(jnp.float32)
+                out = jax.lax.fori_loop(0, c, body, llr)
+                return jnp.sum(out[:, 0])
+            return chained
 
-        float(chained(llr))  # compile + warm
+        # differential two-chain-length timing: cancels the flat
+        # per-dispatch constant exactly (see bench/throughput.py)
+        run_lo, run_hi = make(chain), make(3 * chain)
+        float(run_lo(llr))  # compile + warm
+        float(run_hi(llr))
         ts = []
         for _ in range(tries):
             t0 = time.perf_counter()
-            float(chained(llr))
-            ts.append((time.perf_counter() - t0) / chain)
+            float(run_lo(llr))
+            t_lo = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            float(run_hi(llr))
+            ts.append((time.perf_counter() - t0 - t_lo) / (2 * chain))
         wall = float(np.median(ts))
         thr = B * spec.k / wall / 1e6
         if base is None:
