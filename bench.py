@@ -9,16 +9,57 @@ point) and `prod_r12_mbps` (early-termination + learned schedule at the
 2.5 dB operating point) for context. vs_baseline = fraction of the
 1 Gbit/s/chip north star. Falls back to the n=1008 code if the DVB-S2
 family is unavailable, so every round reports a comparable number.
+
+Capture-proofing (VERDICT r3 weak item 1: BENCH_r03 was lost to a single
+transient `remote_compile: read body` infra flake):
+  - JAX_COMPILATION_CACHE_DIR is set here if the caller didn't — the
+    driver's command does not set it, and cold remote compiles take
+    30-340 s on this platform (CLAUDE.md).
+  - every leg retries on transient runtime/compile errors (the observed
+    flake is a one-shot network hiccup; the retry hits the now-warm
+    compilation cache).
+  - ANY headline-leg failure — not just NotImplementedError — falls
+    through to the mackay leg, so the round always records a number.
 """
 from __future__ import annotations
 
 import json
+import os
 import sys
+import time
+
+# Must happen before jax import (CLAUDE.md: mandatory for TPU runs; the
+# driver's invocation doesn't set it).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/jax_cache")
+
+
+def _run_leg(tag: str, attempts: int = 3, **cfg):
+    """Run one benchmark leg with retry on transient runtime errors.
+
+    The r3 failure mode was a single `JaxRuntimeError: INTERNAL ...
+    remote_compile: read body: response body closed` during warm-up —
+    gone on immediate retry (the judge's rerun succeeded first try).
+    Retry everything except obviously-permanent errors; successful
+    partial compiles persist in the compilation cache so retries are
+    cheap.
+    """
+    from ecc_ldpc_tpu.bench.throughput import run_benchmark
+
+    last = None
+    for i in range(attempts):
+        try:
+            return run_benchmark(**cfg)
+        except (NotImplementedError, ValueError, KeyError):
+            raise  # permanent: wrong spec / unsupported config
+        except Exception as e:  # noqa: BLE001 — transient infra flakes
+            last = e
+            print(f"{tag} attempt {i + 1}/{attempts} failed: {e!r}",
+                  file=sys.stderr)
+            time.sleep(2.0)
+    raise last
 
 
 def main() -> int:
-    from ecc_ldpc_tpu.bench.throughput import run_benchmark
-
     attempts = [
         # Flagship (BASELINE.json:5): n=64800 r=1/2, 25-iteration min-sum.
         # Layered schedule on the fused QC kernel — the TPU-native form of
@@ -31,14 +72,17 @@ def main() -> int:
     last_err = None
     for cfg in attempts:
         try:
-            result = run_benchmark(**cfg)
-        except NotImplementedError as e:
+            result = _run_leg("headline", **cfg)
+        except Exception as e:  # noqa: BLE001 — fall through to next leg
             last_err = e
+            print(f"leg {cfg['code']} failed permanently: {e!r}",
+                  file=sys.stderr)
             continue
         line = json.loads(result.json_line())
         if cfg["code"].startswith("dvbs2/64800"):
             try:
-                r34 = run_benchmark(
+                r34 = _run_leg(
+                    "r34", attempts=2,
                     code="dvbs2/64800/34",
                     decoder="layered/norm:0.8125/25/noet",
                     batch=2048, ebn0_db=3.0,
@@ -51,7 +95,8 @@ def main() -> int:
                 # operating-band learned schedule (learn/schedules/) at the
                 # 2.5 dB operating point — the r=1/2 config clears 1 Gbit/s
                 # here (README "Production mode")
-                prod = run_benchmark(
+                prod = _run_leg(
+                    "production", attempts=2,
                     code="dvbs2/64800/12",
                     decoder="layered/sched:dvbs2_64800_12_T25_op2",
                     batch=2048, ebn0_db=2.5,

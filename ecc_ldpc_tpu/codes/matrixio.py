@@ -172,7 +172,13 @@ def sniff_format(text: str) -> str:
     # dense matrix (ADVICE r2 item 4). Dense files with <=3 columns are
     # still recognized when written unspaced ('011' per row) — loads_dense
     # accepts both forms, dumps_dense writes unspaced.
-    if all(len(ln.split()) in (2, 3) for ln in lines):
+    if all(len(ln.split()) in (2, 3) for ln in lines) and any(
+        t not in ("0", "1") for ln in lines for t in ln.split()
+    ):
+        # The magnitude guard (some token > 1) keeps space-separated narrow
+        # dense files ('0 1 1' rows) out of the triplet branch: MATLAB
+        # triplets are 1-based, so any real triplet beyond a 1x1 matrix
+        # carries an index >= 2 (ADVICE r3 item 3).
         return "matlab"
     if all(set(ln.replace(" ", "").replace("\t", "")) <= {"0", "1"}
            for ln in lines) and any(

@@ -405,8 +405,12 @@ def choose_graph(code_spec, decoder_spec: str, backend: str | None = None):
         qg = compile_qc_graph(code_spec)
         if flooding_qc.supports(qg, kind=kind):
             return qg
-        expanded = compile_graph(code_spec)
-        if fused_mm.supports(expanded):
-            return expanded
+        if kind in ("minsum", "spa"):
+            # fused_mm serves only spa/minsum; routing minstar there would
+            # trade the QC path's actionable envelope ValueError for a bare
+            # KeyError (ADVICE r3 item 1)
+            expanded = compile_graph(code_spec)
+            if fused_mm.supports(expanded):
+                return expanded
         return qg  # loop.py raises the descriptive envelope error
     return compile_qc_graph(code_spec)

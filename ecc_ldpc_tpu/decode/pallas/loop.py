@@ -37,6 +37,10 @@ def make_pallas_decoder(
         # build; if even that exceeds the envelope, fail with the same
         # descriptive error the layered path uses instead of letting Mosaic
         # die with an opaque VMEM message at compile time.
+        # Message audited against flooding_qc.supports() (ADVICE r3 item 2):
+        # the gates really are Z % 8 == 0 (this kernel has no replica
+        # packing, unlike layered_qc), padded sublane dim <= 1024, and the
+        # 84 MB spill-headroom state cap — all three named below.
         if not flooding_qc.supports(graph, kind=kind):
             raise ValueError(
                 f"{graph.name}: outside the Pallas flooding-QC kernel's "

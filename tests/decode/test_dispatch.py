@@ -80,6 +80,21 @@ def test_pallas_override_decodes_z27_end_to_end():
     assert np.all(np.asarray(res.ok))
 
 
+def test_pallas_minstar_unservable_raises_actionable_error():
+    """ADVICE r3 item 1: backend='pallas' minstar on a code flooding_qc
+    can't serve (802.11n Z=27) must keep the QC view so loop.py raises the
+    descriptive envelope ValueError — not route to fused_mm (spa/minsum
+    only) and die with a bare KeyError."""
+    from ecc_ldpc_tpu.decode.api import choose_graph
+    from ecc_ldpc_tpu.graph import QCGraph
+
+    spec = codes.get_code("80211n/648/12")
+    g = choose_graph(spec, "minstar/10", backend="pallas")
+    assert isinstance(g, QCGraph)
+    with pytest.raises(ValueError, match="platform envelope"):
+        decode.make_decoder(g, kind="minstar", backend="pallas")
+
+
 def test_sched_spec_guards():
     from ecc_ldpc_tpu.decode.api import parse_decoder_spec
 

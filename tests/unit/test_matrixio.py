@@ -88,6 +88,17 @@ def test_sniffing_prefers_triplet_over_binary_lookalike():
     assert list(spec.row_cols[9]) == [10]
 
 
+def test_sniffing_spaced_narrow_dense():
+    """ADVICE r3 item 3: a SPACE-separated dense 0/1 matrix with 2-3
+    columns ('0 1 1' rows) must not silently misparse as a MATLAB triplet
+    — all-0/1 tokens mean no credible 1-based index beyond a 1x1 case."""
+    text = "0 1 1\n1 0 1\n"
+    assert sniff_format(text) == "dense"
+    spec = loads_matrix(text)
+    assert (spec.m, spec.n) == (2, 3)
+    assert list(spec.row_cols[0]) == [1, 2]
+
+
 def test_registry_prefixes_and_bare_path(tmp_path):
     spec = _hamming74()
     p = tmp_path / "h74.txt"
