@@ -33,12 +33,22 @@ split per base graph after a genuine recall attempt this round —
   every extension row carries exactly one degree-1 identity column.
   Individual extension-row cells may still carry recall errors
   (~4 cells/row over 38 rows); declared MEDIUM per-cell.
-- BG1 CONNECTIVITY: the 4 core rows (19 entries each) are RECALLED
-  (HIGH confidence — the most-reproduced rows of the table), including
-  the special column 22 at rows {0,1,3} and staircase 23/24/25. The 42
-  extension rows (~240 cells) did NOT clear the reliable-recall bar
-  (a full-table attempt summed to 313 of the published 316 edges, i.e.
-  provably at least slightly wrong) and remain degree-shaped SURROGATES.
+- BG1 CONNECTIVITY (which of the 46x68 cells are non-null, 316 edges):
+  RECALLED from 38.212 Table 5.3.2-2, MEDIUM-HIGH confidence — the
+  round-4 second attempt VERDICT r3 item 5 asked for. A first (round-3)
+  attempt summed to 313 of the published 316 edges and was rejected;
+  this round's recall locks every joint anchor simultaneously:
+  total edges exactly 316 (core 4x19 = 76 + extension 240); the two
+  always-punctured heavy systematic columns measure the published
+  weights (col 0: 30, col 1: 28); core rows carry the published 19
+  entries each with the special column 22 at rows {0,1,3} and
+  staircase 23/24/25; every extension row r carries exactly one
+  degree-1 identity column (22 + r) plus info/core-parity entries;
+  extension degrees span the published 3..10 range with row 4 the
+  famous degree-3 row {0, 1, 26}. A confabulated table hitting all of
+  those jointly is unlikely, but individual extension-row cells may
+  still carry recall errors (~5 cells/row over 42 rows); declared
+  MEDIUM per-cell, like BG2.
 - SHIFT VALUES (8 iLS sets x 316/197 cells): beyond reliable recall —
   no individual V(i,j) value could be reproduced with any confidence,
   so ALL shifts are deterministic SURROGATES, QC-girth-optimized at
@@ -68,8 +78,8 @@ LIFTING_SIZES = sorted(
 )
 
 _BG = {
-    "bg1": dict(mb=46, kb=22, core_info_deg=19, ext_info_deg=4, mid_row=1),
-    "bg2": dict(mb=42, kb=10, core_info_deg=8, ext_info_deg=3, mid_row=2),
+    "bg1": dict(mb=46, kb=22),
+    "bg2": dict(mb=42, kb=10),
 }
 
 # BG2 connectivity [recalled, 38.212 Table 5.3.2-3 — provenance and
@@ -130,6 +140,55 @@ _BG1_CORE_ROWS = (
     (0, 1, 3, 4, 6, 7, 8, 10, 11, 12, 13, 14, 16, 17, 18, 20, 21, 22, 25),
 )
 
+# BG1 extension-row connectivity [recalled, 38.212 Table 5.3.2-2 rows
+# 4-45 — provenance and joint-anchor validation in the module docstring].
+# Row r (4 <= r <= 45) -> non-null columns: info cols 0-21, core parity
+# 22-25, extension identity 26+ (always 22 + r, listed last).
+_BG1_EXT_ROWS = (
+    (0, 1, 26),
+    (0, 1, 3, 12, 16, 21, 22, 27),
+    (0, 6, 10, 11, 13, 17, 18, 20, 28),
+    (0, 1, 4, 7, 8, 14, 29),
+    (0, 1, 3, 12, 16, 19, 21, 22, 24, 30),
+    (0, 1, 10, 11, 13, 17, 18, 20, 31),
+    (1, 2, 4, 7, 8, 14, 32),
+    (0, 1, 12, 16, 21, 22, 23, 33),
+    (0, 1, 10, 11, 13, 18, 34),
+    (0, 3, 7, 20, 23, 35),
+    (0, 12, 15, 16, 17, 21, 36),
+    (0, 1, 10, 13, 18, 25, 37),
+    (1, 3, 11, 20, 22, 38),
+    (0, 14, 16, 17, 21, 39),
+    (1, 12, 13, 18, 19, 40),
+    (0, 1, 7, 8, 10, 41),
+    (0, 3, 9, 11, 22, 42),
+    (1, 5, 16, 20, 21, 43),
+    (0, 12, 13, 17, 44),
+    (1, 2, 10, 18, 45),
+    (0, 3, 4, 11, 22, 46),
+    (1, 6, 7, 14, 47),
+    (0, 2, 4, 15, 48),
+    (1, 6, 8, 49),
+    (0, 4, 19, 21, 50),
+    (1, 14, 18, 25, 51),
+    (0, 10, 13, 24, 52),
+    (1, 7, 22, 25, 53),
+    (0, 12, 14, 24, 54),
+    (1, 2, 11, 21, 55),
+    (0, 7, 15, 17, 56),
+    (1, 6, 12, 22, 57),
+    (0, 14, 15, 18, 58),
+    (1, 13, 23, 59),
+    (0, 9, 10, 12, 60),
+    (1, 3, 7, 19, 61),
+    (0, 8, 17, 62),
+    (1, 3, 9, 18, 63),
+    (0, 4, 24, 64),
+    (1, 16, 18, 25, 65),
+    (0, 7, 9, 22, 66),
+    (1, 6, 10, 67),
+)
+
 # structural shifts of the core-parity section (applied on top of the
 # connectivity): the special column's (1, 0, 1) pattern and shift-0
 # staircase make the O(n) core solve exact (encode/structured.py). The
@@ -163,33 +222,14 @@ def _build_bg(bg: str, seed: int) -> np.ndarray:
         # info/extension shifts get girth-optimized by the caller
         return _core_girth_repair(base, kb, rng)
 
-    # bg1: recalled core connectivity + surrogate extension rows
-    for i, cols in enumerate(_BG1_CORE_ROWS):
+    # bg1: recalled connectivity (core + extension rows); shifts surrogate
+    for i, cols in enumerate(_BG1_CORE_ROWS + _BG1_EXT_ROWS):
         for j in cols:
             base[i, j] = rng.integers(0, ZMAX)
     for (i, j), v in _CORE_PARITY_SHIFTS[bg].items():
         base[i, j] = v
-
-    # extension identity parity
     for r in range(4, mb):
-        base[r, kb + 4 + (r - 4)] = 0
-
-    # extension rows: heavy cols 0,1 often present + light info/core entries
-    deg = (base[:, :kb] >= 0).sum(axis=0)
-    for r in range(4, mb):
-        cols = set()
-        if rng.random() < 0.8:
-            cols.add(int(rng.integers(0, 2)))  # one of the heavy columns
-        pool = np.arange(2, kb + 4)  # info + core-parity columns
-        w = cfg["ext_info_deg"] - len(cols)
-        weights = 1.0 / (1.0 + np.concatenate([deg[2:kb], np.full(4, 3.0)]))
-        weights /= weights.sum()
-        cols |= set(int(c) for c in rng.choice(pool, size=w, replace=False, p=weights))
-        for j in cols:
-            base[r, j] = rng.integers(0, ZMAX)
-        for j in cols:
-            if j < kb:
-                deg[j] += 1
+        base[r, kb + 4 + (r - 4)] = 0  # extension identity parity
 
     return _core_girth_repair(base, kb, rng)
 
@@ -304,9 +344,9 @@ def nr5g(
                 n = (kb + 4 + (mb_used - 4)) * Zc
             punct += [b for b in tx[n_tx:] if b < n]
     qc = QCCode(Z=Zc, base=base)
-    # provenance suffix (module docstring): bg2 connectivity is recalled
-    # (shifts surrogate); bg1 recalled core rows + surrogate extensions
-    prov = {"bg1": "core-recalled", "bg2": "conn-recalled"}[bg]
+    # provenance suffix (module docstring): both base graphs' connectivity
+    # is recalled (r3 for BG2, r4 for BG1); shift values remain surrogates
+    prov = "conn-recalled"
     return expand_qc(
         qc,
         name=f"nr5g.{bg}.z{Zc}" + (f".k{k}" if k != k_full else "")

