@@ -22,12 +22,17 @@ compact channel-spec string surface, mirroring the decoder-spec strings:
                   (16APSK 2.85; 32APSK 2.84/5.27) and is settable per
                   spec (':g2.70'); ring GEOMETRY is the standard's
                   [recalled HIGH for 16APSK, MEDIUM for the 32APSK outer
-                  ring offset], but the per-point BIT LABELING is a
-                  deterministic quasi-Gray SURROGATE (swap-descent
-                  minimization of distance-weighted Hamming cost, seeded)
-                  — the standard's exact labeling figure is not reliably
-                  recallable offline, and a quasi-Gray label is the
-                  principle it was built on. Append ':il' to any
+                  ring offset]. BIT LABELING provenance (VERDICT r3 item
+                  6, recall attempted round 4): 16APSK uses the STANDARD
+                  mapping of EN 302 307 Figure 10 [recalled HIGH —
+                  structural anchors in _APSK16_STD_LABELS' comment];
+                  32APSK's 5-bit labeling figure did NOT clear the
+                  reliable-recall bar (ring-membership bit structure
+                  remembered only vaguely; per-point labels not at all),
+                  so it remains a deterministic quasi-Gray SURROGATE
+                  (swap-descent minimization of distance-weighted
+                  Hamming cost, seeded) — the same principle the
+                  standard's mapping was designed on. Append ':il' to any
                   multi-bit/symbol spec for the DVB-S2 block bit
                   interleaver (write column-wise, read row-wise;
                   EN 302 307 §5.3.3, sans the 8PSK-rate-3/5 special
@@ -337,6 +342,20 @@ def apsk_rings(M: int, gamma):
     return rings
 
 
+# EN 302 307 §5.4.3 Figure 10: the standard 16APSK bit mapping
+# [recalled HIGH]. Point order matches apsk_rings/apsk_tables generation:
+# indices 0-3 = inner ring at 45/135/225/315 deg, 4-15 = outer ring at
+# 15/45/75/.../345 deg. Labels (MSB-first integers):
+#   inner: 1100, 1110, 1111, 1101   outer: 0100 0000 1000 1010 0010 0110
+#                                          0111 0011 1011 1001 0001 0101
+# Joint structural anchors a confabulated table would be unlikely to hit
+# (pinned in tests/unit/test_modem.py): a permutation of 0..15; BOTH
+# rings cyclically Gray (every adjacent pair differs in exactly one bit);
+# bit y4 (LSB) flips under Q-axis reflection (theta -> -theta) and bit y3
+# under I-axis reflection (theta -> pi - theta) for every point; the MSB
+# pair is 11 exactly on the inner ring.
+_APSK16_STD_LABELS = (12, 14, 15, 13, 4, 0, 8, 10, 2, 6, 7, 3, 11, 9, 1, 5)
+
 _APSK_CACHE = {}
 
 
@@ -356,7 +375,13 @@ def apsk_tables(M: int, gamma):
     xi = np.asarray(xs)
     xq = np.asarray(ys)
     b = int(round(math.log2(M)))
-    labels = _quasi_gray_labels(xi, xq, b)
+    # 16APSK: standard mapping (recalled); 32APSK: quasi-Gray surrogate
+    # (module docstring provenance)
+    labels = (
+        np.asarray(_APSK16_STD_LABELS)
+        if M == 16
+        else _quasi_gray_labels(xi, xq, b)
+    )
     bit_table = np.zeros((M, b), dtype=np.int64)
     for i in range(M):
         for j in range(b):

@@ -366,11 +366,13 @@ def test_apsk_tables_energy_and_rings():
 
 def test_apsk_quasi_gray_beats_identity():
     """The surrogate labeling's distance-weighted Hamming cost must beat
-    the naive identity labeling (sanity that the optimizer optimizes)."""
-    from ecc_ldpc_tpu.chan.modem import apsk_rings, apsk_tables
-    import math as _m
+    the naive identity labeling (sanity that the optimizer optimizes).
+    Uses 32APSK — the ring 16APSK no longer needs the optimizer (standard
+    mapping recalled, test below)."""
+    from ecc_ldpc_tpu.chan.modem import apsk_tables
 
-    xi, xq, bit_table, _, _ = apsk_tables(16, 2.85)
+    M = 32
+    xi, xq, bit_table, _, _ = apsk_tables(M, (2.84, 5.27))
     b = bit_table.shape[1]
     labels = (bit_table * (1 << np.arange(b - 1, -1, -1))).sum(axis=1)
     d2 = (xi[:, None] - xi[None, :]) ** 2 + (xq[:, None] - xq[None, :]) ** 2
@@ -378,13 +380,42 @@ def test_apsk_quasi_gray_beats_identity():
     np.fill_diagonal(w, 0.0)
 
     def cost(lab):
-        ham = np.zeros((16, 16))
-        for i in range(16):
-            for j in range(16):
+        ham = np.zeros((M, M))
+        for i in range(M):
+            for j in range(M):
                 ham[i, j] = bin(int(lab[i]) ^ int(lab[j])).count("1")
         return float((w * ham).sum())
 
-    assert cost(labels) < cost(np.arange(16))
+    assert cost(labels) < cost(np.arange(M))
+
+
+def test_apsk16_standard_mapping_structure():
+    """Pin the recalled EN 302 307 Figure 10 16APSK mapping (VERDICT r3
+    item 6) by its joint structural anchors: permutation of 0..15, both
+    rings cyclically Gray, LSB = Q-axis reflection, y3 = I-axis
+    reflection, MSB pair 11 exactly on the inner ring."""
+    from ecc_ldpc_tpu.chan.modem import _APSK16_STD_LABELS, apsk_tables
+
+    lab = list(_APSK16_STD_LABELS)
+    assert sorted(lab) == list(range(16))
+    inner, outer = lab[:4], lab[4:]
+    # cyclic Gray on each ring (point order is by increasing angle)
+    for ring in (inner, outer):
+        for a, c in zip(ring, ring[1:] + ring[:1]):
+            assert bin(a ^ c).count("1") == 1, (a, c)
+    # MSB pair == 11 exactly on the inner ring
+    assert all(v >> 2 == 3 for v in inner)
+    assert all(v >> 2 != 3 for v in outer)
+    # reflection semantics, from the actual generated geometry
+    xi, xq, bit_table, _, _ = apsk_tables(16, 2.85)
+    labels = (bit_table * (1 << np.arange(3, -1, -1))).sum(axis=1)
+    pts = {
+        (round(float(x), 9), round(float(y), 9)): int(v)
+        for x, y, v in zip(xi, xq, labels)
+    }
+    for (x, y), v in pts.items():
+        assert pts[(x, round(-y, 9))] == v ^ 1          # Q mirror: LSB
+        assert pts[(round(-x, 9), y)] == v ^ 2          # I mirror: y3
 
 
 def test_apsk_noiseless_roundtrip():
