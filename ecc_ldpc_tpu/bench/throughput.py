@@ -130,7 +130,7 @@ def chained_decode_time(dec, llr, chain: int = 20, tries: int = 3) -> float:
     run_lo, run_hi = make(chain), make(3 * chain)
     float(run_lo(llr))  # compile + warm
     float(run_hi(llr))
-    outcomes = []
+    outcomes, his = [], []
     for _ in range(tries):
         t0 = time.perf_counter()
         float(run_lo(llr))
@@ -139,7 +139,16 @@ def chained_decode_time(dec, llr, chain: int = 20, tries: int = 3) -> float:
         float(run_hi(llr))
         t_hi = time.perf_counter() - t0
         outcomes.append((t_hi - t_lo) / (2 * chain))
-    return float(np.median(outcomes))
+        his.append(t_hi)
+    slope = float(np.median(outcomes))
+    if slope <= 0.0:
+        # pure-noise regime: for sub-microsecond bodies under host
+        # contention the lo/hi difference can go negative. Fall back to
+        # the hi-chain total as a conservative upper bound — the flat
+        # dispatch constant is then charged to the step, which is the
+        # honest direction for an estimate this coarse.
+        slope = float(np.median(his)) / (3 * chain)
+    return slope
 
 
 def run_benchmark(
