@@ -55,10 +55,12 @@ def _point_counters(
         res = dec(llr)
         msg_hat = enc.extract_message(res.bits)
         diff = msg_hat != msg
+        w = jnp.sum(diff, axis=1, dtype=jnp.int32)
         return (
-            jnp.sum(diff, dtype=jnp.int32),
+            jnp.sum(w),
             jnp.sum(jnp.any(diff, axis=1), dtype=jnp.int32),
             jnp.sum(res.iterations, dtype=jnp.int32),
+            jnp.sum(jnp.square(w.astype(jnp.float32))),
         )
     llr = jax.vmap(lambda kk, c: awgn_llr(kk, c, ebn0_db, rate))(kchan, cw)
     # elementwise masks, never scatter (see chan.make_channel)
@@ -83,10 +85,12 @@ def _point_counters(
     res = dec(llr)
     msg_hat = enc.extract_message(res.bits)
     diff = msg_hat != msg
+    w = jnp.sum(diff, axis=1, dtype=jnp.int32)
     return (
-        jnp.sum(diff, dtype=jnp.int32),
+        jnp.sum(w),
         jnp.sum(jnp.any(diff, axis=1), dtype=jnp.int32),
         jnp.sum(res.iterations, dtype=jnp.int32),
+        jnp.sum(jnp.square(w.astype(jnp.float32))),
     )
 
 
@@ -102,7 +106,9 @@ def make_sharded_step(
     channel_fn=None,
 ) -> Callable:
     """Build step(root_key, ebn0_grid, step_index) -> (bit_errs, frame_errs,
-    iters_sum), each int32 [n_snr_points].
+    iters_sum, bit_errs_sq), the first three int32 [n_snr_points] and the
+    last f32 [n_snr_points] (sum over frames of squared per-frame bit
+    errors, for burst-variance-aware BER CIs — see PointResult.ber_ci).
 
     ebn0_grid: f32 [n_points]; must divide evenly over the 'snr' mesh axis.
     Per call, every grid point sees batch_per_device * mesh['batch'] frames.
@@ -116,7 +122,7 @@ def make_sharded_step(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(), P("snr"), P()),
-        out_specs=(P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
         # pallas_call inside shard_map trips the vma type checker (its
         # ShapeDtypeStruct outputs carry no vma annotation)
         check_vma=False,
@@ -134,21 +140,23 @@ def make_sharded_step(
             frame_start = (
                 step_index * total_batch + batch_shard * batch_per_device
             )
-            be, fe, it = _point_counters(
+            be, fe, it, be2 = _point_counters(
                 enc, dec, rate, k, batch_per_device,
                 point_key, frame_start, ebn0_shard[p],
                 punct=punct, short=short, channel_fn=channel_fn,
             )
-            return jnp.stack([be, fe, it])
+            return jnp.stack([be, fe, it]), be2
 
-        local = jax.lax.map(one_point, jnp.arange(s_local))  # [s_local, 3]
-        local = jax.lax.psum(local, "batch")
+        local, local2 = jax.lax.map(one_point, jnp.arange(s_local))
+        local = jax.lax.psum(local, "batch")    # [s_local, 3] int32
+        local2 = jax.lax.psum(local2, "batch")  # [s_local] f32
         # gather the per-point counters over 'snr' so the returned arrays
         # are REPLICATED: in a multi-process mesh an snr-sharded output is
         # not fully addressable from any one host and np.asarray would
         # raise; the counters are a few ints, replication is free
         full = jax.lax.all_gather(local, "snr", axis=0, tiled=True)
-        return full[:, 0], full[:, 1], full[:, 2]
+        full2 = jax.lax.all_gather(local2, "snr", axis=0, tiled=True)
+        return full[:, 0], full[:, 1], full[:, 2], full2
 
     return step
 
@@ -164,8 +172,9 @@ def sharded_sweep_counters(
     be = jnp.zeros(grid.shape, jnp.int64 if jax.config.jax_enable_x64 else jnp.int32)
     fe = jnp.zeros_like(be)
     it = jnp.zeros_like(be)
+    be2 = jnp.zeros(grid.shape, jnp.float32)
     for s in range(steps):
-        b, f, i = step(root, grid, jnp.int32(s))
-        be, fe, it = be + b, fe + f, it + i
+        b, f, i, b2 = step(root, grid, jnp.int32(s))
+        be, fe, it, be2 = be + b, fe + f, it + i, be2 + b2
     frames = steps * batch_per_device * mesh.shape["batch"]
-    return be, fe, it, frames
+    return be, fe, it, be2, frames

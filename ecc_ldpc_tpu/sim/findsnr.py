@@ -55,7 +55,7 @@ def _probe(pipeline, root, point_idx, ebn0, target, batch, max_frames):
     while frames < max_frames:
         key = jax.random.fold_in(
             jax.random.fold_in(root, point_idx), step_idx)
-        _, fe, _ = pipeline.step(key, ebn0)
+        _, fe, _, _ = pipeline.step(key, ebn0)
         frame_errors += int(fe)
         frames += batch
         step_idx += 1

@@ -62,17 +62,49 @@ def results_to_csv(results: Sequence[PointResult]) -> str:
 def curves_overlap(
     a: Sequence[PointResult], b: Sequence[PointResult], metric: str = "fer"
 ) -> bool:
-    """True iff CIs overlap at every Eb/N0 point both curves share."""
+    """True iff CIs overlap at every Eb/N0 point both curves share.
+
+    BER comparison against legacy curves: points recorded before
+    bit_errors_sq existed carry a falsely-narrow cluster CI (design
+    effect = MEAN burst size, but per-frame error weights are heavy-
+    tailed at waterfall tails — see PointResult.ber_ci). When one side
+    of a point has the squared-weight statistic and the other doesn't,
+    the legacy side's CI is recomputed with the measured side's design
+    effect: both runs sample the same per-frame weight distribution at
+    the same operating point, so the borrowed design effect is the best
+    available estimate of the legacy run's true clustering.
+    """
     bi = {round(r.ebn0_db, 6): r for r in b}
     shared = [(ra, bi[round(ra.ebn0_db, 6)]) for ra in a if round(ra.ebn0_db, 6) in bi]
     if not shared:
         raise ValueError("curves share no Eb/N0 points")
     for ra, rb in shared:
+        if metric == "ber":
+            ra, rb = _borrow_design_effect(ra, rb)
         lo_a, hi_a = getattr(ra, f"{metric}_ci")
         lo_b, hi_b = getattr(rb, f"{metric}_ci")
         if hi_a < lo_b or hi_b < lo_a:
             return False
     return True
+
+
+def _borrow_design_effect(ra: PointResult, rb: PointResult):
+    """If exactly one of the pair tracks bit_errors_sq, synthesize the
+    other's statistic from the same design effect D = sum(w^2)/sum(w):
+    bit_errors_sq = D * bit_errors keeps its BER point estimate while
+    widening its CI to the measured clustering."""
+    import dataclasses as _dc
+
+    has_a = ra.bit_errors_sq > 0 and ra.bit_errors > 0
+    has_b = rb.bit_errors_sq > 0 and rb.bit_errors > 0
+    if has_a == has_b:
+        return ra, rb
+    src, dst = (ra, rb) if has_a else (rb, ra)
+    if dst.bit_errors <= 0:
+        return ra, rb
+    design = src.bit_errors_sq / src.bit_errors
+    patched = _dc.replace(dst, bit_errors_sq=design * dst.bit_errors)
+    return (ra, patched) if has_a else (patched, rb)
 
 
 def plot_curves(results: Sequence[PointResult], metric: str = "fer",

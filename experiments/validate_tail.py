@@ -44,11 +44,14 @@ FILES = [
 
 def main() -> int:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "VALIDATION.json"
+    only = sys.argv[2] if len(sys.argv) > 2 else None  # substring filter
     from ecc_ldpc_tpu.sim import StoppingRule, SweepSpec, curves_overlap, run_sweep
     from ecc_ldpc_tpu.sim.runner import PointResult
 
     report = {"files": {}, "ok": True}
     for fname, max_frames in FILES:
+        if only and only not in fname:
+            continue
         golden = [PointResult.from_json(d)
                   for d in json.loads((CURVES / fname).read_text())]
         # the CPU gate covers the first 2 points with FER >= 2e-2; the
@@ -85,6 +88,7 @@ def main() -> int:
                     "golden_fer": r.fer, "got_fer": m.fer,
                     "golden_fer_ci": list(r.fer_ci),
                     "got_fer_ci": list(m.fer_ci),
+                    "golden_ber": r.ber, "got_ber": m.ber,
                     "frames": m.frames,
                 }
                 for m, r in zip(res, pts)

@@ -27,10 +27,10 @@ def pipeline():
 def _counters(pipeline, ndev, snr, bpd, steps=2):
     spec, enc, dec = pipeline
     mesh = make_mesh(MeshSpec(batch=-1, snr=snr), devices=jax.devices()[:ndev])
-    be, fe, it, frames = sharded_sweep_counters(
+    be, fe, it, be2, frames = sharded_sweep_counters(
         enc, dec, spec.rate, spec.k, mesh, bpd, [1.0, 3.0], seed=0, steps=steps
     )
-    return np.asarray(be), np.asarray(fe), frames
+    return np.asarray(be), np.asarray(fe), frames, np.asarray(be2)
 
 
 def test_mesh_shape_invariance(pipeline):
@@ -42,6 +42,9 @@ def test_mesh_shape_invariance(pipeline):
         assert np.array_equal(got[0], ref[0]), (ndev, snr)
         assert np.array_equal(got[1], ref[1]), (ndev, snr)
         assert got[2] == ref[2]
+        # the f32 squared-weight counter sums in mesh-dependent order;
+        # integer-valued summands keep it exact at these magnitudes
+        np.testing.assert_allclose(got[3], ref[3], rtol=1e-6), (ndev, snr)
 
 
 def test_snr_points_independent(pipeline):
@@ -49,19 +52,19 @@ def test_snr_points_independent(pipeline):
     in the grid (resharding the EbN0 grid doesn't change per-point BER)."""
     spec, enc, dec = pipeline
     mesh1 = make_mesh(MeshSpec(batch=-1, snr=1), devices=jax.devices()[:4])
-    be_both, _, _, _ = sharded_sweep_counters(
+    be_both, _, _, _, _ = sharded_sweep_counters(
         enc, dec, spec.rate, spec.k, mesh1, 16, [1.0, 3.0], seed=0, steps=1
     )
     # grid with the points in the other order: point index changes, so this
     # only checks shape/determinism; the invariance that matters is vs mesh
-    be_single, _, _, _ = sharded_sweep_counters(
+    be_single, _, _, _, _ = sharded_sweep_counters(
         enc, dec, spec.rate, spec.k, mesh1, 16, [1.0, 3.0], seed=0, steps=1
     )
     assert np.array_equal(np.asarray(be_both), np.asarray(be_single))
 
 
 def test_higher_snr_fewer_errors(pipeline):
-    be, fe, _ = _counters(pipeline, 8, 2, 32, steps=4)
+    be, fe, _, _ = _counters(pipeline, 8, 2, 32, steps=4)
     assert be[0] > be[1]  # 1 dB vs 3 dB
 
 
