@@ -268,7 +268,7 @@ def make_pallas_decoder(
     max_iters: int = 25,
     early_term: bool = True,
     jit: bool = True,
-    batch_tile: int = 128,
+    batch_tile: Optional[int] = None,
     interpret: Optional[bool] = None,
     mxu_dtype="auto",
 ):
@@ -276,7 +276,10 @@ def make_pallas_decoder(
 
     interpret=None auto-selects interpreter mode off-TPU (the CI strategy of
     SURVEY.md §4.2 item 3: the XLA tier is the oracle, interpret mode the
-    bridge). mxu_dtype: 'auto' picks bf16 for min-sum on a real TPU backend
+    bridge). batch_tile=None auto-selects 256 lanes/tile when the batch
+    fills it and VMEM allows (+3% measured on mackay1008, prologue
+    amortization), else 128; pass an int to force.
+    mxu_dtype: 'auto' picks bf16 for min-sum on a real TPU backend
     (measured +60% at identical FER, module docstring) and f32 otherwise;
     an explicit jnp dtype forces it. f32 stays bit-exact with the oracle;
     bf16 stores the incidence operators in bf16 (0/1 is exact) and rounds
@@ -295,6 +298,19 @@ def make_pallas_decoder(
     m_pad = _round_up(graph.m, 128)  # slabs tile (8,128) evenly
     m2_pad = _round_up(graph.m, 8)
     e_pad = m_pad * graph.dc_max
+    def _pick_batch_tile(B: int) -> int:
+        # 256 lanes/tile amortizes the per-tile prologue over twice the
+        # work: mackay1008 batch-2048 fixed-25 measures 270 vs 261 Mbit/s
+        # (bt=512 regresses to 265 — the tile state starts crowding the
+        # operator double-buffers). Auto-pick 256 when the batch fills it
+        # and the VMEM estimate leaves headroom, else the safe 128.
+        if batch_tile is not None:
+            return batch_tile
+        est256 = 2 * 4 * (
+            2 * n_pad * e_pad + m2_pad * n_pad + graph.dc_max * m_pad
+            + 3 * e_pad * 256 + 4 * n_pad * 256
+        ) + (1 << 23)
+        return 256 if B >= 256 and est256 <= 110 * 1024 * 1024 else 128
     S, St, H, maskf = build_operators(graph, n_pad, m_pad, m2_pad)
     S = jnp.asarray(S, mxu_dtype)
     St = jnp.asarray(St, mxu_dtype)
@@ -306,23 +322,24 @@ def make_pallas_decoder(
         beta=beta, max_iters=max_iters, early_term=early_term,
     )
 
-    # 2x: pallas double-buffers input blocks (even grid-invariant ones), so
-    # a tight single-copy budget makes Mosaic reject the kernel.
-    vmem_bytes = 2 * 4 * (
-        S.size + St.size + H.size + maskf.size
-        + 3 * e_pad * batch_tile + 4 * n_pad * batch_tile
-    ) + (1 << 23)
-
     # The operators are ARGUMENTS of the jitted impl (closure-captured arrays
     # embed as giant inline MLIR constants that break the remote compiler).
     # Padding/unpadding also live INSIDE the jit: on the tunneled device each
     # eager dispatch costs milliseconds, so the whole decode must be one call.
     def decode_impl(llr, S, St, H, maskf):
         B = llr.shape[0]
-        B_pad = _round_up(max(B, batch_tile), batch_tile)
+        bt = _pick_batch_tile(B)  # static per traced batch shape
+        # 2x: pallas double-buffers input blocks (even grid-invariant
+        # ones), so a tight single-copy budget makes Mosaic reject the
+        # kernel.
+        vmem_bytes = 2 * 4 * (
+            S.size + St.size + H.size + maskf.size
+            + 3 * e_pad * bt + 4 * n_pad * bt
+        ) + (1 << 23)
+        B_pad = _round_up(max(B, bt), bt)
         llr_t = jnp.zeros((n_pad, B_pad), jnp.float32)
         llr_t = llr_t.at[: graph.n, :B].set(llr.T.astype(jnp.float32))
-        grid = (B_pad // batch_tile,)
+        grid = (B_pad // bt,)
         itp = interpret
         if itp is None:
             itp = jax.default_backend() != "tpu"
@@ -335,7 +352,7 @@ def make_pallas_decoder(
                 jax.ShapeDtypeStruct((1, B_pad), jnp.float32),
             ),
             in_specs=[
-                pl.BlockSpec((n_pad, batch_tile), lambda b: (0, b),
+                pl.BlockSpec((n_pad, bt), lambda b: (0, b),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((n_pad, e_pad), lambda b: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -347,11 +364,11 @@ def make_pallas_decoder(
                              memory_space=pltpu.VMEM),
             ],
             out_specs=(
-                pl.BlockSpec((n_pad, batch_tile), lambda b: (0, b),
+                pl.BlockSpec((n_pad, bt), lambda b: (0, b),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, batch_tile), lambda b: (0, b),
+                pl.BlockSpec((1, bt), lambda b: (0, b),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, batch_tile), lambda b: (0, b),
+                pl.BlockSpec((1, bt), lambda b: (0, b),
                              memory_space=pltpu.VMEM),
             ),
             compiler_params=pltpu.CompilerParams(
