@@ -15,6 +15,7 @@ from .gallager import gallager_36
 from .mackay import mackay_1008
 from .qc import QCCode, expand_qc
 from .ieee80211n import ieee80211n
+from .ieee8023an import ieee8023an
 from .wimax import wimax
 from .dvbs2 import dvbs2
 from .nr5g import nr5g
@@ -26,5 +27,5 @@ __all__ = [
     "loads_matlab_sparse", "dumps_matlab_sparse", "load_dense",
     "loads_dense", "dumps_dense",
     "gallager_36", "mackay_1008", "QCCode", "expand_qc", "ieee80211n",
-    "wimax", "dvbs2", "nr5g", "get_code", "list_codes",
+    "ieee8023an", "wimax", "dvbs2", "nr5g", "get_code", "list_codes",
 ]

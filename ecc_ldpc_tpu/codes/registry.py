@@ -14,6 +14,8 @@ Examples:
   wimax/1152/23A                  WiMAX n=1152 rate 2/3A
   dvbs2/64800/12                  DVB-S2 normal frame rate 1/2
   nr5g/bg1/208/3168               5G NR BG1, Zc=208, k=3168-style spec
+  ccsds/1024/12                   CCSDS AR4JA k=1024 rate 1/2
+  8023an                          IEEE 802.3an 10GBASE-T (2048, 1723)
 """
 from __future__ import annotations
 
@@ -103,6 +105,13 @@ def _register_builtins() -> None:
         return ar4ja(int(k), rate, seed=int(seed.lstrip("s")))
 
     register("ccsds", _ccsds)
+
+    def _8023an():
+        from .ieee8023an import ieee8023an
+
+        return ieee8023an()
+
+    register("8023an", _8023an)
 
     def _sc(j, k, l, z, seed="s0"):
         from .sc import sc_regular
