@@ -39,6 +39,10 @@ CONFIGS = [
      "layered/norm:0.8125/25", (0.95, 1.0, 1.05, 1.1, 1.2)),
     ("mackay1008_tpu_golden", "mackay1008",
      "spa/50", (1.0, 1.5, 2.0, 2.5)),
+    # r4: 802.3an RS-LDPC (unstructured; TPU path = xla-mm incidence
+    # tier). CPU-measured waterfall 3.2-4.0 dB (fer 0.70 -> 0.004)
+    ("8023an_tpu_golden", "8023an",
+     "minsum/norm:0.8125/25", (3.2, 3.4, 3.6, 3.8, 4.0)),
     # APSK channels on the short DVB-S2 frame. The 16APSK grid is for the
     # STANDARD EN 302 307 mapping (recalled r4) — ~0.4 dB right of the old
     # quasi-Gray surrogate on this code: the two mappings are

@@ -38,6 +38,14 @@ def test_dvbs2_short_r12_waterfall():
     assert _fer("dvbs2/16200/12", dec, 2.2, batch=64, max_frames=256) < 0.2
 
 
+def test_8023an_waterfall():
+    # (6,32)-regular rate 0.84: GA-DE threshold 3.0 dB; n=2048 finite-
+    # length waterfall measured 3.2-4.0 dB (fer 0.70 @3.2, 0.004 @4.0)
+    dec = "minsum/norm:0.8125/25"
+    assert _fer("8023an", dec, 3.0) > 0.4
+    assert _fer("8023an", dec, 4.2) < 0.1
+
+
 def test_nr5g_bg2_waterfall():
     # BG2 Zc=64, mother rate 1/5: works at very low Eb/N0
     dec = "minsum/norm:0.8125/30"

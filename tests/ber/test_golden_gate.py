@@ -38,6 +38,7 @@ _GOLDENS = [
     # 32APSK surrogate — PointResult carries the channel spec)
     "dvbs2_16200_12_apsk16_tpu_golden.json",
     "dvbs2_16200_12_apsk32_tpu_golden.json",
+    "8023an_tpu_golden.json",            # r4: RS-LDPC family
 ]
 _MIN_FER = 2e-2      # ~80+ expected errors in the 4096-frame CPU budget
 _MAX_POINTS = 2      # the two lowest-SNR resolvable points per family
