@@ -23,8 +23,10 @@ from .throughput import run_benchmark
 # operating point so decoded frames are realistic noisy frames.
 DEFAULT_CONFIGS = [
     ("mackay1008", "minsum/norm:0.8125/25/noet", 2048, 2.5),
-    # unstructured like mackay; TPU path = incidence-matmul (xla-mm) tier
-    ("8023an", "minsum/norm:0.8125/25/noet", 2048, 4.0),
+    # xor-perm QC structure (r5): layered static-perm tier, like the
+    # other standards families — replaced the incidence-matmul route
+    # whose n*edges cost model was 12x mackay's per bit (97 Mbit/s)
+    ("8023an", "layered/norm:0.8125/25/noet", 2048, 4.0),
     ("80211n/648/12", "layered/norm:0.8125/25/noet", 2048, 2.5),
     ("80211n/1296/12", "layered/norm:0.8125/25/noet", 2048, 2.2),
     ("80211n/1944/12", "layered/norm:0.8125/25/noet", 2048, 2.0),

@@ -43,6 +43,7 @@ class BenchResult:
     mean_iters: float
     roofline_mbps: float
     device: str
+    roofline_form: str = "hbm-gather"
 
     def json_line(self) -> str:
         return json.dumps(
@@ -58,6 +59,7 @@ class BenchResult:
                 "k_bits_per_frame": self.k,
                 "wall_s_per_batch": round(self.wall_s_per_batch, 6),
                 "roofline_mbps": round(self.roofline_mbps, 1),
+                "roofline_form": self.roofline_form,
                 "device": self.device,
             }
         )
@@ -67,10 +69,35 @@ def roofline_mbps(num_edges: int, k: int, iters: int, msg_bytes: int = 4) -> flo
     """Memory-bound speed-of-light if messages round-trip HBM every
     iteration: per frame per iter ~ 4 touches of E messages (CN read+write,
     VN read+write). SURVEY.md §6 shows the 1 Gbit/s target requires beating
-    this via VMEM residency — the fused-kernel headroom this number bounds."""
+    this via VMEM residency — the fused-kernel headroom this number bounds.
+
+    FORM CAVEAT (DESIGN.md §3.6, round 4): this is the bound of a
+    GATHER-form kernel. It is the right reference for the roll tiers
+    (which beat it from VMEM); it is a category error for the
+    incidence-matmul tiers, whose ceiling is MXU FLOPs — use
+    mxu_roofline_mbps for those rows. BenchResult.roofline_form records
+    which bound a row carries."""
     bytes_per_frame = 4.0 * num_edges * msg_bytes * iters
     frames_per_s = HBM_GBPS * 1e9 / bytes_per_frame
     return frames_per_s * k / 1e6
+
+
+# TPU v5e bf16 MXU peak (public spec), for the incidence-form ceiling.
+MXU_PEAK_TFLOPS = 197.0
+
+
+def mxu_roofline_mbps(n: int, m: int, dc_max: int, k: int, iters: int) -> float:
+    """Compute-bound speed-of-light of the incidence-matmul form: the
+    per-iteration dot chain St@x [e_pad,n_pad]@[n_pad,B], S@C back, and
+    the H@bits syndrome, at 100% MXU bf16 peak with zero fixed cost.
+    Gives 293 Mbit/s on mackay1008 — 4% above the measured matmuls-only
+    ablation floor of 281 (DESIGN.md §3.6), i.e. a true ceiling the
+    production kernel reaches 92% of."""
+    n_pad = -(-n // 128) * 128
+    e_pad = (-(-m // 128) * 128) * dc_max
+    m2_pad = -(-m // 8) * 8
+    flops_per_frame = 2.0 * (2 * e_pad * n_pad + m2_pad * n_pad) * iters
+    return MXU_PEAK_TFLOPS * 1e12 / flops_per_frame * k / 1e6
 
 
 def time_fn(f, *args, tries: int = 5):
@@ -203,6 +230,16 @@ def run_benchmark(
     res = dec(llr)
     mean_iters = float(jnp.mean(res.iterations))
     mbps = batch * spec.k / wall / 1e6
+    # form-correct ceiling (VERDICT r4 item 7): incidence-matmul rows are
+    # MXU-compute-bound; roll/xor-perm QC rows carry the gather-form HBM
+    # bound as their reference (the VMEM-resident kernels beat it)
+    from ..graph.qc import QCGraph
+
+    if isinstance(graph, QCGraph):
+        roof, form = roofline_mbps(spec.num_edges, spec.k, iters), "hbm-gather"
+    else:
+        roof = mxu_roofline_mbps(spec.n, spec.m, graph.dc_max, spec.k, iters)
+        form = "mxu-incidence"
     return BenchResult(
         throughput_mbps=mbps,
         code=code,
@@ -214,6 +251,7 @@ def run_benchmark(
         num_edges=spec.num_edges,
         wall_s_per_batch=wall,
         mean_iters=mean_iters,
-        roofline_mbps=roofline_mbps(spec.num_edges, spec.k, iters),
+        roofline_mbps=roof,
+        roofline_form=form,
         device=jax.devices()[0].platform,
     )

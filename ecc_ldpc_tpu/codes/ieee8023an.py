@@ -30,19 +30,26 @@ Construction — exact, nothing tabular to recall:
     choice tried (distinct slopes incl. b=0).
 
 SURROGATE LABEL (SURVEY.md §7.2 item 4): IEEE Std 802.3an Clause 55
-fixes specific evaluation-point ordering and slope/coset choices (i.e. a
-specific column/row ordering of this same H family, equivalent up to
-permutation); those orderings did not clear the reliable-recall bar.
+fixes specific evaluation-point ordering and slope/coset choices; those
+orderings did not clear the reliable-recall bar. The shipped H is the
+same construction family with matching published anchors (n, k, rank,
+degree profile, girth) — different slope/point subsets of the RS
+construction are not guaranteed permutation-equivalent, and no
+permutation-equivalence check has been run.
 This module uses the deterministic choice points = [0, 1, alpha, ...,
 alpha^30], slopes = [1, alpha, ..., alpha^5]. Degree profile, girth,
 n, k, and the RS-based structure match the standard exactly; interop
 with a compliant transceiver would need the standard's exact ordering.
 
-The code is unstructured (no circulant blocks), like the MacKay family:
-the gather tier serves it on CPU and the MXU incidence-matmul tier
-(backend 'xla-mm', decode/xla/dense_mm.py) on TPU; n=2048 sits inside
-that tier's size gate. Encoding is the dense systematic generator
-(encode/dense.py).
+The code has no circulant blocks, but it IS block-structured: each
+64 x 64 block is the XOR-permutation a -> a ^ bp (bp = b*p in GF(64)),
+compile-time static. The spec therefore carries a QCXorCode (codes/qc.py)
+— base matrix [6, 32] of xor-shifts, every cell occupied — so the
+layered/flooding QC tiers serve it through graph.qc's to_check_align/
+to_var_align (xor_perm = reshape + flip, gather-free); this replaced the
+incidence-matmul tier whose n*edges cost model is 12x mackay's per bit
+(r4 verdict weak item 3: 97 Mbit/s on the wrong tier). Encoding is the
+dense systematic generator (encode/dense.py).
 
 Spec string: 8023an
 """
@@ -92,15 +99,30 @@ def rs_ldpc_H(n_points: int = 32, slopes=None) -> np.ndarray:
     return H
 
 
+def xor_base(n_points: int = 32, slopes=None) -> np.ndarray:
+    """The [len(slopes), n_points] base matrix of xor-shifts: cell (ci, j)
+    holds bp = slopes[ci] * points[j] in GF(64) — block row a has its 1 at
+    block column position a ^ bp, exactly rs_ldpc_H's placement."""
+    exp, log = _gf64_tables()
+    if slopes is None:
+        slopes = [int(exp[i]) for i in range(6)]
+    points = [0] + [int(exp[i]) for i in range(n_points - 1)]
+    base = np.zeros((len(slopes), n_points), dtype=np.int32)
+    for ci, b in enumerate(slopes):
+        for j, p in enumerate(points):
+            base[ci, j] = 0 if (b == 0 or p == 0) else int(exp[log[b] + log[p]])
+    return base
+
+
 def ieee8023an() -> CodeSpec:
     """The (2048, 1723) 10GBASE-T class code (structure-exact surrogate)."""
     from ..encode.gf2 import gf2_rank
+    from .qc import QCXorCode, expand_qc_xor
 
-    H = rs_ldpc_H()
-    rank = gf2_rank(H)
-    k = H.shape[1] - rank
+    spec = expand_qc_xor(QCXorCode(Z=_Q, base=xor_base()), name="8023an",
+                         k=1723)
+    rank = gf2_rank(spec.dense())
+    k = spec.n - rank
     if k != 1723:  # the published dimension is the construction's anchor
         raise AssertionError(f"RS-LDPC rank self-check failed: k={k} != 1723")
-    row_cols = tuple(np.flatnonzero(r).astype(np.int32) for r in H)
-    return CodeSpec(name="8023an", n=2048, m=H.shape[0], row_cols=row_cols,
-                    k=k)
+    return spec

@@ -15,8 +15,18 @@ Rate compatibility (the "rate-compatible" in config 5):
   - filler bits: requesting k < kb*Zc shortens the tail of the info section
     (receiver treats them as known zeros);
   - the first 2*Zc systematic bits are ALWAYS punctured (never transmitted);
-  - requesting n_tx < n punctures tail parity, raising the rate — the
-    standard's circular-buffer rate matching restricted to RV0.
+  - requesting n_tx < n selects n_tx bits from the CIRCULAR BUFFER
+    (38.212 §5.4.2.1): the buffer holds the codeword minus the leading
+    2*Zc bits (N_cb = 66*Zc for BG1, 50*Zc for BG2); transmission starts
+    at the redundancy version's k0 (rv_k0 below, Table 5.4.2.1-2's small
+    published formulas — structure, not a recalled table) and takes the
+    first n_tx non-filler positions, wrapping. rv=None keeps the legacy
+    RV0 path with inert-row graph truncation (decode work scales with the
+    transmitted length); rv=0..3 runs the explicit circular buffer
+    (r5, VERDICT r4 item 5 — closes the last structural gap in config 5).
+    harq_combine() sums per-transmission LLRs for incremental-redundancy
+    reception (punctured positions carry LLR 0, so the sum is exact
+    per-bit chase/IR combining).
 
 TABLE PROVENANCE (SURVEY.md §7.2 item 4; VERDICT r2 item 5):
 split per base graph after a genuine recall attempt this round —
@@ -297,14 +307,48 @@ def reduced_bg_table(bg: str, Zc: int) -> np.ndarray:
     return _REDUCED_CACHE[key].copy()
 
 
+# Circular-buffer starting-position numerators of 38.212 Table 5.4.2.1-2:
+# k0 = floor(num * N_cb / (den * Zc)) * Zc with den = 66 (BG1) / 50 (BG2).
+_RV_K0_NUM = {"bg1": (0, 17, 33, 56), "bg2": (0, 13, 25, 43)}
+_NCB_BLOCKS = {"bg1": 66, "bg2": 50}
+
+
+def rv_k0(bg: str, Zc: int, rv: int) -> int:
+    """Redundancy version rv's circular-buffer start k0 (38.212
+    Table 5.4.2.1-2, full soft buffer N_cb = N). With the full buffer the
+    formula reduces to num*Zc (BG1: 0/17/33/56 blocks; BG2: 0/13/25/43),
+    but the floor form is kept so an LBRM-limited N_cb slots in."""
+    if rv not in (0, 1, 2, 3):
+        raise ValueError(f"rv must be 0..3, got {rv}")
+    den = _NCB_BLOCKS[bg]
+    n_cb = den * Zc  # full soft buffer
+    return (_RV_K0_NUM[bg][rv] * n_cb // (den * Zc)) * Zc
+
+
+def harq_combine(*llrs):
+    """Incremental-redundancy soft combining across retransmissions of the
+    same mother codeword: per-bit LLR sum. Each transmission's channel
+    emits LLR 0 at its punctured positions (chan.make_channel), so the sum
+    is exact chase/IR combining over the full-length column indexing that
+    every rv=0..3 spec of one (bg, Zc, k) shares."""
+    out = llrs[0]
+    for x in llrs[1:]:
+        out = out + x
+    return out
+
+
 def nr5g(
-    bg: str, Zc: int, k: int | None = None, n_tx: int | None = None
+    bg: str, Zc: int, k: int | None = None, n_tx: int | None = None,
+    rv: int | None = None,
 ) -> CodeSpec:
-    """nr5g('bg1', 384) -> full code; k and n_tx enable rate matching.
+    """nr5g('bg1', 384) -> full code; k, n_tx, rv enable rate matching.
 
     k: message bits (<= kb*Zc); the tail kb*Zc - k info bits are filler.
-    n_tx: transmitted bits; tail parity beyond it is punctured. The leading
-    2*Zc systematic bits are always punctured (38.212 §5.3.2).
+    n_tx: transmitted bits, selected from the circular buffer. rv=None:
+    legacy RV0 tail-puncture with inert-row graph truncation; rv=0..3:
+    explicit circular-buffer selection starting at rv_k0 (graph kept
+    full-length — with a wrapped window no tail rows are inert). The
+    leading 2*Zc systematic bits are always punctured (38.212 §5.3.2).
     """
     bg = bg.lower()
     if bg not in _BG:
@@ -323,7 +367,26 @@ def nr5g(
         raise ValueError(f"k={k} out of range (<= {k_full})")
     filler = tuple(range(k, k_full))  # tail of the info section
     punct = list(range(2 * Zc))  # leading systematic puncture
-    if n_tx is not None:
+    if rv is not None and n_tx is None:
+        raise ValueError("rv needs n_tx (a full transmission has no window)")
+    if n_tx is not None and rv is not None:
+        # explicit circular-buffer bit selection (38.212 §5.4.2.1): take
+        # the first n_tx non-filler buffer positions from k0, wrapping.
+        # Buffer position j is codeword column 2*Zc + j; N_cb = n - 2*Zc.
+        if n_tx > n - 2 * Zc - len(filler):
+            raise ValueError("n_tx exceeds available transmitted bits")
+        n_cb = n - 2 * Zc
+        k0 = rv_k0(bg, Zc, rv)
+        sel: set = set()
+        j = 0
+        while len(sel) < n_tx and j < n_cb:
+            c = 2 * Zc + (k0 + j) % n_cb
+            if not (k <= c < k_full):  # skip filler (NULL) positions
+                sel.add(c)
+            j += 1
+        punct += [c for c in range(2 * Zc, n)
+                  if c not in sel and not (k <= c < k_full)]
+    elif n_tx is not None:
         if n_tx > n - 2 * Zc - len(filler):
             raise ValueError("n_tx exceeds available transmitted bits")
         # transmitted bits are (2Zc..n) minus filler; puncture the tail
@@ -350,7 +413,8 @@ def nr5g(
     return expand_qc(
         qc,
         name=f"nr5g.{bg}.z{Zc}" + (f".k{k}" if k != k_full else "")
-        + (f".ntx{n_tx}" if n_tx else "") + f".{prov}",
+        + (f".ntx{n_tx}" if n_tx else "")
+        + (f".rv{rv}" if rv is not None else "") + f".{prov}",
         k=k,
         punctured_cols=tuple(punct),
         shortened_cols=filler,

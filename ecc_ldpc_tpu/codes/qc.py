@@ -130,6 +130,66 @@ def expand_qc_multi(qcm: QCMultiCode, name: str = "qc", **kw) -> CodeSpec:
     )
 
 
+@dataclasses.dataclass(frozen=True)
+class QCXorCode:
+    """Base matrix lifted by Z x Z XOR-permutation blocks (perm="xor").
+
+    A block with shift s maps check row r to variable r ^ s — the
+    GF(2)-additive permutation family of the IEEE 802.3an RS-LDPC
+    construction (codes/ieee8023an.py: the coset {a + b*x} places row a's
+    1 at column a XOR (b*p) within each point block). Z must be a power
+    of two. Same (Z, mb, nb, block_edges()) surface as QCCode, so the
+    graph compiler and all XLA QC decode tiers serve these codes; the
+    Pallas roll kernels gate themselves off via QCGraph.perm."""
+
+    Z: int
+    base: np.ndarray  # int32 [mb, nb]; -1 = zero block, s in [0, Z)
+    perm = "xor"
+
+    def __post_init__(self):
+        if self.Z & (self.Z - 1) or self.Z <= 0:
+            raise ValueError(f"xor lifting needs power-of-two Z, got {self.Z}")
+        b = np.asarray(self.base, dtype=np.int32)
+        if np.any(b >= self.Z):
+            raise ValueError("shift >= Z in base matrix")
+        object.__setattr__(self, "base", b)
+
+    @property
+    def mb(self) -> int:
+        return self.base.shape[0]
+
+    @property
+    def nb(self) -> int:
+        return self.base.shape[1]
+
+    @property
+    def m(self) -> int:
+        return self.mb * self.Z
+
+    @property
+    def n(self) -> int:
+        return self.nb * self.Z
+
+    def block_edges(self):
+        br, bc = np.nonzero(self.base >= 0)
+        return br.astype(np.int32), bc.astype(np.int32), self.base[br, bc]
+
+
+def expand_qc_xor(qc: QCXorCode, name: str = "qc", **kw) -> CodeSpec:
+    """Lift a XOR base matrix into a CodeSpec (sparse row adjacency)."""
+    Z = qc.Z
+    rows = []
+    for bi in range(qc.mb):
+        shifts = qc.base[bi]
+        nz = np.flatnonzero(shifts >= 0)
+        for r in range(Z):
+            cols = nz * Z + (r ^ shifts[nz])
+            rows.append(np.sort(cols).astype(np.int32))
+    return CodeSpec(
+        name=name, n=qc.n, m=qc.m, row_cols=tuple(rows), qc=qc, **kw
+    )
+
+
 def circulant(Z: int, shift: int) -> np.ndarray:
     """Dense P^shift (for tests): row r has 1 at column (r+shift) % Z."""
     P = np.zeros((Z, Z), dtype=np.uint8)

@@ -83,11 +83,14 @@ def _register_builtins() -> None:
     register("80211n", lambda n, rate: ieee80211n(int(n), rate))
     register("wimax", lambda n, rate: wimax(int(n), rate))
     register("dvbs2", lambda n, rate: dvbs2(int(n), rate))
-    def _nr5g(bg, zc, k=None, n_tx=None):
+    def _nr5g(bg, zc, k=None, n_tx=None, rv=None):
+        # 'nr5g/bg1/384/8448/12672/rv2' — redundancy version as a trailing
+        # 'rvN' component (38.212 §5.4.2.1 circular buffer; codes/nr5g.py)
         return nr5g(
             bg, int(zc),
             None if k is None else int(k),
             None if n_tx is None else int(n_tx),
+            None if rv is None else int(rv.lstrip("rv")),
         )
 
     register("nr5g", _nr5g)

@@ -43,6 +43,8 @@ def supports(
 ) -> bool:
     if llr_bytes is None:
         llr_bytes = msg_bytes  # dispatch sets llr_dtype = msg_dtype
+    if graph.perm != "roll":
+        return False  # pltpu.roll addressing; xor-perm codes use XLA tier
     lanes = max(batch_tile, 128)
     if graph.Z * (8 // int(np.gcd(graph.Z, 8))) > 1024:
         # same measured platform limit as layered_qc.supports: Pallas

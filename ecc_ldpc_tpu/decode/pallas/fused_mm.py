@@ -298,6 +298,18 @@ def make_pallas_decoder(
     m_pad = _round_up(graph.m, 128)  # slabs tile (8,128) evenly
     m2_pad = _round_up(graph.m, 8)
     e_pad = m_pad * graph.dc_max
+    S, St, H, maskf = build_operators(graph, n_pad, m_pad, m2_pad)
+
+    def vmem_estimate(bt: int) -> int:
+        # One formula for both the auto-tile decision and the CompilerParams
+        # limit, so they can't silently diverge. 2x: pallas double-buffers
+        # input blocks (even grid-invariant ones); 4 B/elt is a deliberate
+        # upper bound that stays valid when mxu_dtype is bf16.
+        return 2 * 4 * (
+            S.size + St.size + H.size + maskf.size
+            + 3 * e_pad * bt + 4 * n_pad * bt
+        ) + (1 << 23)
+
     def _pick_batch_tile(B: int) -> int:
         # 256 lanes/tile amortizes the per-tile prologue over twice the
         # work: mackay1008 batch-2048 fixed-25 measures 270 vs 261 Mbit/s
@@ -306,12 +318,7 @@ def make_pallas_decoder(
         # and the VMEM estimate leaves headroom, else the safe 128.
         if batch_tile is not None:
             return batch_tile
-        est256 = 2 * 4 * (
-            2 * n_pad * e_pad + m2_pad * n_pad + graph.dc_max * m_pad
-            + 3 * e_pad * 256 + 4 * n_pad * 256
-        ) + (1 << 23)
-        return 256 if B >= 256 and est256 <= 110 * 1024 * 1024 else 128
-    S, St, H, maskf = build_operators(graph, n_pad, m_pad, m2_pad)
+        return 256 if B >= 256 and vmem_estimate(256) <= 110 * 1024 * 1024 else 128
     S = jnp.asarray(S, mxu_dtype)
     St = jnp.asarray(St, mxu_dtype)
     H = jnp.asarray(H, mxu_dtype)
@@ -329,13 +336,9 @@ def make_pallas_decoder(
     def decode_impl(llr, S, St, H, maskf):
         B = llr.shape[0]
         bt = _pick_batch_tile(B)  # static per traced batch shape
-        # 2x: pallas double-buffers input blocks (even grid-invariant
-        # ones), so a tight single-copy budget makes Mosaic reject the
-        # kernel.
-        vmem_bytes = 2 * 4 * (
-            S.size + St.size + H.size + maskf.size
-            + 3 * e_pad * bt + 4 * n_pad * bt
-        ) + (1 << 23)
+        # A tight single-copy budget makes Mosaic reject the kernel — use
+        # the shared double-buffered estimate (same one the tile pick saw).
+        vmem_bytes = vmem_estimate(bt)
         B_pad = _round_up(max(B, bt), bt)
         llr_t = jnp.zeros((n_pad, B_pad), jnp.float32)
         llr_t = llr_t.at[: graph.n, :B].set(llr.T.astype(jnp.float32))

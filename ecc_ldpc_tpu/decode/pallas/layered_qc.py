@@ -73,6 +73,10 @@ def supports(
 ) -> bool:
     if llr_bytes is None:
         llr_bytes = msg_bytes  # dispatch sets llr_dtype = msg_dtype
+    if graph.perm != "roll":
+        # this kernel's addressing IS pltpu.roll; xor-perm graphs (802.3an)
+        # decode on the XLA static-perm tier (reshape+flip, TPU-safe)
+        return False
     lanes = max(batch_tile, 128)  # lane dim pads to 128 either way
     R = 8 // int(np.gcd(graph.Z, 8))  # replica packing factor (see below)
     if graph.Z * R > 1024:

@@ -86,7 +86,7 @@ def decode_bitflip_qc(
         for edges in rows:
             acc = 0.0
             for e, col, s in edges:
-                acc = acc + jnp.roll(x[col], -s, axis=0)
+                acc = acc + graph.to_check(x[col], s)
             out.append(_mod2(acc))  # [Z, B]
         return out
 
@@ -106,7 +106,7 @@ def decode_bitflip_qc(
             cnt = [jnp.zeros((Z, B), jnp.float32) for _ in range(nb)]
             for ri, edges in enumerate(rows):
                 for e, col, s in edges:
-                    cnt[col] = cnt[col] + jnp.roll(par[ri], s, axis=0)
+                    cnt[col] = cnt[col] + graph.to_var(par[ri], s)
             flips = [
                 (2.0 * cnt[j] > float(col_deg[j])).astype(jnp.float32)
                 if col_deg[j] else jnp.zeros((Z, B), jnp.float32)
@@ -118,7 +118,7 @@ def decode_bitflip_qc(
             for ri, edges in enumerate(rows):
                 sat = 1.0 - 2.0 * par[ri]
                 for e, col, s in edges:
-                    E[col] = E[col] + jnp.roll(sat, s, axis=0)
+                    E[col] = E[col] + graph.to_var(sat, s)
             flips = [(E[j] < theta).astype(jnp.float32) for j in range(nb)]
         else:
             raise KeyError(f"unknown bit-flip variant {variant!r}")

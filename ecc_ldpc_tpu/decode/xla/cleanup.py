@@ -42,12 +42,12 @@ def bitflip_cleanup(graph: QCGraph, bits: jax.Array, rounds: int = 2):
             acc = 0.0
             for r, c, s in edges:
                 if r == i:
-                    acc = acc + jnp.roll(x[c], -s, axis=0)
+                    acc = acc + graph.to_check(x[c], s)
             par.append(acc - 2.0 * jnp.floor(acc * 0.5))  # [Z, B]
         # per-variable unsatisfied-neighbor count (variable-aligned)
         cnt = [jnp.zeros((Z, B), jnp.float32) for _ in range(nb)]
         for r, c, s in edges:
-            cnt[c] = cnt[c] + jnp.roll(par[r], s, axis=0)
+            cnt[c] = cnt[c] + graph.to_var(par[r], s)
         newx = []
         for j in range(nb):
             if col_deg[j] >= 2:
@@ -65,7 +65,7 @@ def bitflip_cleanup(graph: QCGraph, bits: jax.Array, rounds: int = 2):
         acc = 0.0
         for r, c, s in edges:
             if r == i:
-                acc = acc + jnp.roll(x[c], -s, axis=0)
+                acc = acc + graph.to_check(x[c], s)
         par = acc - 2.0 * jnp.floor(acc * 0.5)
         fail = jnp.maximum(fail, jnp.max(par, axis=0))
     out_bits = x.reshape(nb * Z, B).T.astype(jnp.uint8)

@@ -126,7 +126,7 @@ def decode_flooding_qc(
         for edges in rows:
             acc = 0.0
             for e, col, s in edges:
-                acc = acc + (jnp.roll(total[col], -s, axis=0) < 0).astype(jnp.float32)
+                acc = acc + (graph.to_check(total[col], s) < 0).astype(jnp.float32)
             par = acc - 2.0 * jnp.floor(acc * 0.5)
             fail = jnp.maximum(fail, jnp.max(par, axis=0))
         return fail > 0.5
@@ -138,7 +138,7 @@ def decode_flooding_qc(
         newC = C
         fail = jnp.zeros((B,), jnp.float32)
         for edges in rows:
-            rolled = [jnp.roll(total[col], -s, axis=0) for e, col, s in edges]
+            rolled = [graph.to_check(total[col], s) for e, col, s in edges]
             if track:
                 hacc = 0.0
                 for r in rolled:
@@ -148,7 +148,7 @@ def decode_flooding_qc(
             V = jnp.stack([r - C[e] for r, (e, col, s) in zip(rolled, edges)])
             Cnew = cn_op(V, alpha, beta)
             for j, (e, col, s) in enumerate(edges):
-                acc = acc.at[col].add(jnp.roll(Cnew[j], s, axis=0))
+                acc = acc.at[col].add(graph.to_var(Cnew[j], s))
                 newC = newC.at[e].set(Cnew[j])
         return constrain(acc), constrain(newC), fail > 0.5
 

@@ -106,7 +106,7 @@ def _syndrome_fail(graph: QCGraph, total):
     for i in range(graph.mb):
         acc = 0.0
         for e, col, s in graph.layer_edges(i):
-            acc = acc + jnp.roll(hard[col], -s, axis=0)
+            acc = acc + graph.to_check(hard[col], s)
         par = acc - 2.0 * jnp.floor(acc * 0.5)
         fails.append(jnp.max(par, axis=0))  # [Z? no: [B]] -- max over Z
     return jnp.max(jnp.stack(fails), axis=0) > 0.5  # [B]
@@ -176,7 +176,7 @@ def decode_layered(
         flip = jnp.zeros((total.shape[-1],), jnp.bool_)
         for i in graph.layer_order:
             edges = graph.layer_edges(i)
-            rolled = [jnp.roll(total[col], -s, axis=0) for e, col, s in edges]
+            rolled = [graph.to_check(total[col], s) for e, col, s in edges]
             if track:
                 acc = 0.0
                 for r in rolled:
@@ -220,11 +220,11 @@ def decode_layered(
                             != jnp.signbit(rolled[j]),
                             axis=0,
                         )
-                    total = total.at[col].set(jnp.roll(new_aligned, s, axis=0))
+                    total = total.at[col].set(graph.to_var(new_aligned, s))
                 else:
                     old = total[col]
                     total = total.at[col].add(
-                        jnp.roll(Cnew[j] - C[e], s, axis=0)
+                        graph.to_var(Cnew[j] - C[e], s)
                     )
                     if track:
                         flip = flip | jnp.any(

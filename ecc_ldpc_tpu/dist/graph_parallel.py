@@ -84,6 +84,12 @@ def make_qc_graph_parallel_decoder(
         raise ValueError(
             f"Z={graph.Z} does not divide over {D} devices on '{axis}'"
         )
+    if graph.perm != "roll":
+        raise ValueError(
+            f"graph-parallel Z-sharding assumes circulant blocks; "
+            f"{graph.name} lifts with perm={graph.perm!r} (xor-perm codes "
+            f"are small — use the batch-parallel mode)"
+        )
     # with_sharding_constraint requires Auto mesh axes; jax.make_mesh
     # defaults to Explicit ones — rebuild over the same devices
     mesh = jax.sharding.Mesh(mesh.devices, mesh.axis_names)

@@ -14,16 +14,57 @@ variable (r + shift) % Z, so:
   variable-aligned view = roll(check_aligned, +shift)
   check-aligned view    = roll(variable_aligned, -shift)
 with roll(x, s)[i] = x[(i - s) % Z] (np.roll semantics; pltpu.roll matches).
+
+Block-permutation families (perm="xor"): IEEE 802.3an's RS-based H is six
+64-row blocks where check r connects variable r XOR s (codes/ieee8023an.py)
+— GF(2)-additive permutations, not circulants. The same [Z, batch] slab
+layout serves them with the roll replaced by xor_perm (reshape + flip on
+the bit axes of s — one XLA reverse op, still gather-free and TPU-legal).
+XOR perms are involutions, so both alignment directions apply the SAME
+permutation. QCGraph.perm selects the block-permutation kind; the XLA
+tiers consume it through to_check_align/to_var_align below.
 """
 from __future__ import annotations
 
 import dataclasses
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..codes.qc import QCCode
 from ..codes.spec import CodeSpec
+
+
+def xor_perm(x: jax.Array, s: int) -> jax.Array:
+    """y[i] = x[i ^ s] along axis 0 (static s; axis length a power of two).
+
+    Realized as reshape to (2,)*b + flip of the bit-axes set in s + reshape
+    back: flipping bit-axis a maps index bit -> 1-bit, so the composite is
+    exactly XOR-by-s. One XLA reverse op — no gather, no dynamic slices."""
+    if s == 0:
+        return x
+    Z = x.shape[0]
+    b = Z.bit_length() - 1
+    if (1 << b) != Z or not 0 < s < Z:
+        raise ValueError(f"xor_perm needs power-of-two axis, 0<=s<Z (Z={Z}, s={s})")
+    xr = x.reshape((2,) * b + x.shape[1:])
+    axes = tuple(a for a in range(b) if (s >> (b - 1 - a)) & 1)
+    return jnp.flip(xr, axis=axes).reshape(x.shape)
+
+
+def to_check_align(x: jax.Array, s: int, perm: str) -> jax.Array:
+    """Variable-aligned -> check-aligned view of a [Z, ...] slab."""
+    if perm == "xor":
+        return xor_perm(x, int(s))
+    return jnp.roll(x, -int(s), axis=0)
+
+
+def to_var_align(x: jax.Array, s: int, perm: str) -> jax.Array:
+    """Check-aligned -> variable-aligned view of a [Z, ...] slab."""
+    if perm == "xor":
+        return xor_perm(x, int(s))
+    return jnp.roll(x, int(s), axis=0)
 
 
 @jax.tree_util.register_dataclass
@@ -40,6 +81,10 @@ class QCGraph:
     dvb_max: int = dataclasses.field(metadata=dict(static=True))
     k: int = dataclasses.field(metadata=dict(static=True))
     name: str = dataclasses.field(metadata=dict(static=True))
+    # block-permutation kind: "roll" (circulant P^s) or "xor" (a -> a^s);
+    # the XLA tiers route every alignment change through to_check_align/
+    # to_var_align, the Pallas tiers serve "roll" only (supports() gates)
+    perm: str = dataclasses.field(metadata=dict(static=True))
     # host-side copies for trace-time (static) unrolling in the XLA tier
     be_row_np: tuple = dataclasses.field(metadata=dict(static=True))
     be_col_np: tuple = dataclasses.field(metadata=dict(static=True))
@@ -61,6 +106,14 @@ class QCGraph:
     @property
     def m(self) -> int:
         return self.mb * self.Z
+
+    def to_check(self, x: jax.Array, s: int) -> jax.Array:
+        """Variable-aligned -> check-aligned [Z, ...] slab view."""
+        return to_check_align(x, s, self.perm)
+
+    def to_var(self, x: jax.Array, s: int) -> jax.Array:
+        """Check-aligned -> variable-aligned [Z, ...] slab view."""
+        return to_var_align(x, s, self.perm)
 
     def layer_edges(self, i: int):
         """Host-side (edge_id, col, shift) triples of block-row i."""
@@ -114,6 +167,7 @@ class QCGraph:
 
 def qc_graph_from_block_edges(
     Z: int, mb: int, nb: int, br, bc, sh, *, k: int, name: str = "qc",
+    perm: str = "roll",
 ) -> QCGraph:
     """Build a QCGraph from explicit (block_row, block_col, shift) triples.
 
@@ -126,6 +180,10 @@ def qc_graph_from_block_edges(
     bc = np.asarray(bc, np.int32)
     sh = np.asarray(sh, np.int32)
     BE = len(br)
+    if perm not in ("roll", "xor"):
+        raise ValueError(f"perm must be 'roll' or 'xor', got {perm!r}")
+    if perm == "xor" and Z & (Z - 1):
+        raise ValueError(f"xor-perm blocks need power-of-two Z, got {Z}")
     if np.any(sh < 0) or np.any(sh >= Z):
         raise ValueError("shifts must lie in [0, Z)")
     if len(bc) != BE or len(sh) != BE:
@@ -155,7 +213,7 @@ def qc_graph_from_block_edges(
 
     return QCGraph(
         Z=Z, mb=mb, nb=nb, num_block_edges=BE,
-        dcb_max=dcb_max, dvb_max=dvb_max, k=k, name=name,
+        dcb_max=dcb_max, dvb_max=dvb_max, k=k, name=name, perm=perm,
         be_row_np=tuple(int(x) for x in br),
         be_col_np=tuple(int(x) for x in bc),
         be_shift_np=tuple(int(x) for x in sh),
@@ -171,4 +229,5 @@ def compile_qc_graph(spec: CodeSpec) -> QCGraph:
     br, bc, sh = qc.block_edges()
     return qc_graph_from_block_edges(
         qc.Z, qc.mb, qc.nb, br, bc, sh, k=spec.k, name=spec.name,
+        perm=getattr(qc, "perm", "roll"),
     )

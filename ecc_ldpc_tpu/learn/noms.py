@@ -80,11 +80,11 @@ def unrolled_posteriors(graph: QCGraph, llr, alphas, betas,
         a_t, b_t = ab_t
         for i in graph.layer_order:
             edges = graph.layer_edges(i)
-            rolled = [jnp.roll(total[col], -s, axis=0) for e, col, s in edges]
+            rolled = [graph.to_check(total[col], s) for e, col, s in edges]
             Vt = jnp.stack([r - C[e] for r, (e, col, s) in zip(rolled, edges)])
             Cnew = _cn_minsum_soft(Vt, a_t, b_t)
             for j, (e, col, s) in enumerate(edges):
-                total = total.at[col].set(jnp.roll(Vt[j] + Cnew[j], s, axis=0))
+                total = total.at[col].set(graph.to_var(Vt[j] + Cnew[j], s))
                 C = C.at[e].set(Cnew[j])
         return (total, C), total.reshape(nb * Z, B).T
 

@@ -44,7 +44,9 @@ def test_mesh_shape_invariance(pipeline):
         assert got[2] == ref[2]
         # the f32 squared-weight counter sums in mesh-dependent order;
         # integer-valued summands keep it exact at these magnitudes
-        np.testing.assert_allclose(got[3], ref[3], rtol=1e-6), (ndev, snr)
+        np.testing.assert_allclose(
+            got[3], ref[3], rtol=1e-6, err_msg=str((ndev, snr))
+        )
 
 
 def test_snr_points_independent(pipeline):

@@ -226,3 +226,101 @@ def test_rate_matched_truncation_equivalent():
     bt = np.asarray(dec_t(jnp.asarray(llr_t)).bits)
     bf = np.asarray(dec_f(jnp.asarray(llr_f)).bits)
     assert np.array_equal(bt, bf[:, : t.n])
+
+
+# ---- redundancy versions RV0-3 (38.212 §5.4.2.1; r5, VERDICT r4 item 5) --
+
+
+def test_rv_k0_published_positions():
+    """Table 5.4.2.1-2 with the full buffer: k0/Zc = 0/17/33/56 (BG1),
+    0/13/25/43 (BG2) — hand-computed from the published formulas."""
+    from ecc_ldpc_tpu.codes.nr5g import rv_k0
+
+    for Zc in (4, 52, 384):
+        assert [rv_k0("bg1", Zc, rv) for rv in range(4)] == [
+            0, 17 * Zc, 33 * Zc, 56 * Zc]
+        assert [rv_k0("bg2", Zc, rv) for rv in range(4)] == [
+            0, 13 * Zc, 25 * Zc, 43 * Zc]
+    with pytest.raises(ValueError):
+        rv_k0("bg1", 384, 4)
+
+
+def test_rv_window_selection_small():
+    """Hand-built expected transmitted set on a tiny lifting: BG2, Zc=4,
+    rv=3 starts at buffer position 43*4=172 and wraps past N_cb=200."""
+    Zc, n_tx = 4, 40
+    spec = nr5g("bg2", Zc, n_tx=n_tx, rv=3)
+    n_cb = 50 * Zc
+    k0 = 43 * Zc
+    want = {2 * Zc + (k0 + j) % n_cb for j in range(n_tx)}  # no filler here
+    got = set(range(spec.n)) - set(spec.punctured_cols)
+    assert got == want
+    # wraps: some selected positions lie before k0
+    assert any(c < 2 * Zc + k0 for c in got)
+
+
+def test_rv0_circular_matches_legacy_transmitted_set():
+    """rv=0's circular window must select exactly the legacy tail-puncture
+    path's transmitted bits (the truncation path is BER-preserving, so the
+    two specs describe the same transmission)."""
+    k, n_tx = 320, 640
+    legacy = nr5g("bg2", 32, k=k, n_tx=n_tx)        # truncated graph
+    rv0 = nr5g("bg2", 32, k=k, n_tx=n_tx, rv=0)     # full graph
+    tx_legacy = (set(range(legacy.n)) - set(legacy.punctured_cols)
+                 - set(legacy.shortened_cols))
+    tx_rv0 = (set(range(rv0.n)) - set(rv0.punctured_cols)
+              - set(rv0.shortened_cols))
+    assert tx_legacy == tx_rv0
+    assert rv0.n > legacy.n  # rv path keeps the full mother graph
+
+
+def test_rv_filler_skipped():
+    """Filler (NULL) positions are skipped by bit selection, not counted."""
+    Zc, k = 32, 200  # k < kb*Zc=320 -> fillers at cols 200..319
+    spec = nr5g("bg2", Zc, k=k, n_tx=400, rv=1)
+    tx = set(range(spec.n)) - set(spec.punctured_cols) - set(spec.shortened_cols)
+    assert len(tx) == 400
+    assert not (set(range(k, 10 * Zc)) & tx)  # no filler transmitted
+
+
+def test_rv3_self_decodable_and_harq_combining():
+    """RV3 (wrapped window incl. systematic tail) decodes standalone at
+    high SNR; and IR-combining RV0+RV2 beats RV0 alone at the same SNR."""
+    from ecc_ldpc_tpu.codes.nr5g import harq_combine
+    from ecc_ldpc_tpu.decode import make_decoder
+    from ecc_ldpc_tpu.graph.qc import compile_qc_graph
+
+    Zc, k, n_tx = 32, 320, 500
+    key = jax.random.key(9)
+    specs = {rv: nr5g("bg2", Zc, k=k, n_tx=n_tx, rv=rv) for rv in (0, 2, 3)}
+    enc = build_encoder(specs[3])
+    msg = jax.random.bernoulli(key, 0.5, (64, k)).astype(jnp.uint8)
+    cw = enc(msg)
+
+    def decode_fer(llr, spec):
+        dec = make_decoder(compile_qc_graph(spec), "layered", alpha=0.8125,
+                           max_iters=30)
+        res = dec(llr)
+        ok_msg = (np.asarray(enc.extract_message(res.bits))
+                  == np.asarray(msg)).all(axis=1)
+        return 1.0 - ok_msg.mean()
+
+    llr3 = make_channel(specs[3])(jax.random.fold_in(key, 1), cw, 7.0)
+    assert decode_fer(llr3, specs[3]) < 0.2  # standalone RV3, rate ~0.64
+
+    # IR combining at an SNR where one RV0 transmission mostly fails
+    snr = 1.0
+    llr0 = make_channel(specs[0])(jax.random.fold_in(key, 2), cw, snr)
+    llr2 = make_channel(specs[2])(jax.random.fold_in(key, 3), cw, snr)
+    fer_single = decode_fer(llr0, specs[0])
+    fer_comb = decode_fer(harq_combine(llr0, llr2), specs[0])
+    assert fer_comb < fer_single, (fer_comb, fer_single)
+
+
+def test_rv_spec_string_surface():
+    from ecc_ldpc_tpu.codes import get_code
+
+    spec = get_code("nr5g/bg2/32/320/500/rv2")
+    assert ".rv2" in spec.name
+    with pytest.raises(ValueError):
+        nr5g("bg2", 32, rv=2)  # rv without n_tx is meaningless
