@@ -23,16 +23,26 @@ compact channel-spec string surface, mirroring the decoder-spec strings:
                   spec (':g2.70'); ring GEOMETRY is the standard's
                   [recalled HIGH for 16APSK, MEDIUM for the 32APSK outer
                   ring offset]. BIT LABELING provenance (VERDICT r3 item
-                  6, recall attempted round 4): 16APSK uses the STANDARD
-                  mapping of EN 302 307 Figure 10 [recalled HIGH —
-                  structural anchors in _APSK16_STD_LABELS' comment];
-                  32APSK's 5-bit labeling figure did NOT clear the
-                  reliable-recall bar (ring-membership bit structure
-                  remembered only vaguely; per-point labels not at all),
-                  so it remains a deterministic quasi-Gray SURROGATE
-                  (swap-descent minimization of distance-weighted
-                  Hamming cost, seeded) — the same principle the
-                  standard's mapping was designed on. Append ':il' to any
+                  6, recall attempted rounds 4 AND 5): 16APSK uses the
+                  STANDARD mapping of EN 302 307 Figure 10 [recalled
+                  HIGH — structural anchors in _APSK16_STD_LABELS'
+                  comment]; 32APSK's 5-bit labeling figure did NOT clear
+                  the reliable-recall bar in either attempt. The round-5
+                  attempt re-ran the method that cracked 16APSK (lock
+                  joint structural anchors first — ring-membership bit
+                  pattern, reflection-symmetry bit assignments,
+                  per-ring cyclic-Gray property — then fill per-point
+                  labels against them): for 32APSK NONE of the anchors
+                  could be recalled with confidence (the 4+12+16 split
+                  admits no exact ring-membership bit pair, and which
+                  single bit, if any, marks the 16-point outer ring
+                  could not be pinned), so no candidate table could be
+                  validated rather than constructed. CLOSED as a
+                  permanent limitation: the labeling remains a
+                  deterministic quasi-Gray SURROGATE (swap-descent
+                  minimization of distance-weighted Hamming cost,
+                  seeded) — the same principle the standard's mapping
+                  was designed on. Append ':il' to any
                   multi-bit/symbol spec for the DVB-S2 block bit
                   interleaver (write column-wise, read row-wise;
                   EN 302 307 §5.3.3, sans the 8PSK-rate-3/5 special

@@ -263,8 +263,12 @@ def parse_decoder_spec(spec: str) -> dict:
     'sched:NAME' loads a shipped learned schedule (learn/schedules/) as
     per-iteration alpha/beta arrays, e.g.
     'layered/sched:dvbs2_64800_12_T25'; an explicit iteration count may
-    truncate it ('.../20' uses the first 20 iterations)."""
-    parts = spec.split("/")
+    truncate it ('.../20' uses the first 20 iterations).
+
+    A ';retry=FALLBACK' suffix is handled by get_decoder; here it is
+    stripped so informational callers (graph choice, bench metadata)
+    see the PRIMARY's kwargs."""
+    parts = spec.split(";retry=")[0].split("/")
     kind = parts[0]
     kw: dict = {"kind": kind}
     sched = None
@@ -321,6 +325,26 @@ def parse_decoder_spec(spec: str) -> dict:
 
 
 def get_decoder(graph: CompiledGraph, spec: str, **overrides):
+    """Build a decoder from a spec string.
+
+    'PRIMARY;retry=FALLBACK' (e.g. 'layered/norm:0.8125/50;retry=spa/50')
+    wraps the primary in decoder-diversity retry (with_retry): frames the
+    primary fails are re-decoded by the fallback ON THE SAME compiled
+    graph. The wrapper is HOST-LEVEL by design (boolean gather between two
+    jitted decoders) — it cannot be jitted; the sim runner detects the
+    `host_level` flag and runs its staged step (r5 production pin of the
+    floor program's winning remedy, VERDICT r4 item 3)."""
+    if ";retry=" in spec:
+        primary_spec, fb_spec = spec.split(";retry=", 1)
+        # the sub-decoders are always jitted — the host-level wrapper is
+        # the only eager layer (callers' jit=False means "don't jit the
+        # decode entry point", which the wrapper already satisfies)
+        sub = dict(overrides, jit=True)
+        primary = get_decoder(graph, primary_spec, **sub)
+        fallback = get_decoder(graph, fb_spec, **sub)
+        dec = with_retry(primary, fallback)
+        dec.host_level = True
+        return dec
     kw = parse_decoder_spec(spec)
     kw.update(overrides)
     return make_decoder(graph, **kw)
@@ -382,9 +406,12 @@ def choose_graph(code_spec, decoder_spec: str, backend: str | None = None):
     compiler, see decode/xla/dense_mm.py); the Pallas flooding-QC kernel
     now serves all three kinds on that view too. The only explicit
     override that needs the expanded graph is 'xla-mm' (incidence
-    matmuls). Non-QC codes always use the expanded graph."""
+    matmuls). Non-QC codes always use the expanded graph. A ';retry='
+    suffix shares the primary's graph (get_decoder builds the fallback
+    on the same view)."""
     from ..graph import compile_graph, compile_qc_graph
 
+    decoder_spec = decoder_spec.split(";retry=")[0]
     kind = parse_decoder_spec(decoder_spec)["kind"]
     if kind == "layered":
         return compile_qc_graph(code_spec)  # raises clearly on non-QC codes

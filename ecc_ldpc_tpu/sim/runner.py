@@ -198,7 +198,19 @@ def _ldpc_pipeline(spec: SweepSpec) -> Pipeline:
             jnp.sum(jnp.square(w.astype(jnp.float32))),
         )
 
-    if spec.fused_step:
+    if getattr(dec, "host_level", False):
+        # retry-wrapped decoders (';retry=' specs) gather failed frames on
+        # the host between two jitted decoders — the decode stage cannot be
+        # traced, so the step is forced staged with the decode un-jitted
+        # (its primary/fallback are jitted internally)
+        tx = jax.jit(lambda key, ebn0_db: _staged_tx(enc, channel, B, k, key, ebn0_db))
+        tally = jax.jit(lambda msg, res: _staged_tally(enc, msg, res))
+
+        def step(key, ebn0_db):
+            msg, llr = tx(key, ebn0_db)
+            res = dec(llr)
+            return tally(msg, res)
+    elif spec.fused_step:
         step = jax.jit(step_body)
     else:
         tx = jax.jit(lambda key, ebn0_db: _staged_tx(enc, channel, B, k, key, ebn0_db))
@@ -347,6 +359,12 @@ def run_sweep_sharded(
     enc = build_encoder(code)
     overrides = {"backend": spec.backend} if spec.backend else {}
     dec = get_decoder(graph, spec.decoder, jit=False, **overrides)
+    if getattr(dec, "host_level", False):
+        raise ValueError(
+            "';retry=' decoders are host-level and cannot run inside the "
+            "sharded step — sweep with the primary, re-decode failures "
+            "with run_sweep (its staged step supports retry), or offline"
+        )
 
     n_batch = mesh.shape["batch"]
     n_snr = mesh.shape["snr"]
