@@ -21,6 +21,7 @@ import functools
 from typing import Callable
 
 import jax
+import numpy as np
 
 from ..graph.compile import CompiledGraph
 from .types import DecodeResult
@@ -112,6 +113,24 @@ def make_decoder(
                     "layered decoding needs a QCGraph (compile with "
                     "graph.qc.compile_qc_graph on a QC code spec)"
                 )
+            if graph.perm == "xor":
+                from .pallas import layered_xor
+
+                if cn != "minsum":
+                    raise ValueError(
+                        f"{graph.name}: the xor-perm kernel serves "
+                        f"cn='minsum' only — use backend='xla' for "
+                        f"{cn!r}"
+                    )
+                if not layered_xor.supports(graph, kind=cn):
+                    raise ValueError(
+                        f"{graph.name}: outside the xor-perm kernel's "
+                        f"VMEM envelope — use backend='xla'"
+                    )
+                return layered_xor.make_layered_xor_decoder(
+                    graph, alpha=alpha, beta=beta, max_iters=max_iters,
+                    early_term=early_term, jit=jit,
+                )
             if not layered_qc.supports(graph, msg_bytes=2, kind=cn):
                 raise ValueError(
                     f"{graph.name}: outside the Pallas layered kernel's "
@@ -143,12 +162,14 @@ def make_decoder(
 
         on_tpu = jax.default_backend() == "tpu"
         if kind == "layered":
-            from .pallas import layered_qc
+            from .pallas import layered_qc, layered_xor
 
             if (
                 on_tpu
                 and isinstance(graph, QCGraph)
-                and layered_qc.supports(graph, kind=cn)
+                and (layered_qc.supports(graph, kind=cn)
+                     or (layered_xor.supports(graph, kind=cn)
+                         and np.ndim(alpha) == 0 and np.ndim(beta) == 0))
             ):
                 backend = "pallas"
             else:

@@ -39,10 +39,15 @@ CONFIGS = [
      "layered/norm:0.8125/25", (0.95, 1.0, 1.05, 1.1, 1.2)),
     ("mackay1008_tpu_golden", "mackay1008",
      "spa/50", (1.0, 1.5, 2.0, 2.5)),
-    # r4: 802.3an RS-LDPC (unstructured; TPU path = xla-mm incidence
-    # tier). CPU-measured waterfall 3.2-4.0 dB (fer 0.70 -> 0.004)
+    # r4: 802.3an flooding min-sum (r5 route: XLA xor roll-form flooding
+    # — same algorithm the old xla-mm incidence tier ran, new addressing)
     ("8023an_tpu_golden", "8023an",
      "minsum/norm:0.8125/25", (3.2, 3.4, 3.6, 3.8, 4.0)),
+    # r5: 802.3an PRODUCTION path — layered on the xor-perm QC tier
+    # (layered-25 converges like flooding-50, so the grid sits ~0.2 dB
+    # left of the flooding one)
+    ("8023an_layered_tpu_golden", "8023an",
+     "layered/norm:0.8125/25", (3.0, 3.2, 3.4, 3.6, 3.8)),
     # APSK channels on the short DVB-S2 frame. The 16APSK grid is for the
     # STANDARD EN 302 307 mapping (recalled r4) — ~0.4 dB right of the old
     # quasi-Gray surrogate on this code: the two mappings are

@@ -38,7 +38,8 @@ FILES = [
     ("mackay1008_tpu_golden.json", 65_536),
     ("dvbs2_16200_12_apsk16_tpu_golden.json", 65_536),  # APSK16 channel
     ("dvbs2_16200_12_apsk32_tpu_golden.json", 65_536),  # APSK32 channel
-    ("8023an_tpu_golden.json", 65_536),  # r4: RS-LDPC family (xla-mm tier)
+    ("8023an_tpu_golden.json", 65_536),  # r4: RS-LDPC family (flooding)
+    ("8023an_layered_tpu_golden.json", 65_536),  # r5: xor-QC layered tier
     ("dvbs2_64800_12_deep_tpu.json", 131_072),  # 50-iter deep-tail scan
 ]
 
