@@ -175,9 +175,12 @@ def make_decoder(
             else:
                 backend = "xla"  # static-roll tier, also TPU-safe
         elif isinstance(graph, QCGraph):
-            from .pallas import flooding_qc
+            from .pallas import flooding_qc, layered_xor
 
-            if on_tpu and kind == "minsum" and flooding_qc.supports(graph):
+            if on_tpu and kind == "minsum" and (
+                flooding_qc.supports(graph)
+                or layered_xor.supports(graph, schedule="flooding")
+            ):
                 backend = "pallas"
             else:
                 backend = "xla"  # roll-form flooding twin, TPU-safe

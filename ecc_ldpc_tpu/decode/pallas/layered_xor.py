@@ -42,7 +42,7 @@ _SGN_MASK = np.int32(-(2**31))  # 0x80000000: f32 sign bit
 
 
 def supports(graph: QCGraph, batch_tile: int = 256, msg_bytes: int = 4,
-             kind: str = "minsum") -> bool:
+             kind: str = "minsum", schedule: str = "layered") -> bool:
     if graph.perm != "xor" or kind != "minsum":
         return False
     if not graph.intra_layer_dup_free:
@@ -57,6 +57,7 @@ def supports(graph: QCGraph, batch_tile: int = 256, msg_bytes: int = 4,
         + 4 * nb                # llr window
         + 4 * nb                # bits out (f32)
         + 4 * graph.dcb_max     # vrow scratch
+        + (4 * nb if schedule == "flooding" else 0)  # acc
     ) + 2 * 4 * BE * Z * Z      # P table (double-buffered input)
     return state <= 100 * 1024 * 1024
 
@@ -64,11 +65,12 @@ def supports(graph: QCGraph, batch_tile: int = 256, msg_bytes: int = 4,
 def _kernel(
     ge_be_ref, be_col_ref,
     P_ref, llr_ref, bits_ref, ok_ref, iters_ref,
-    total_s, C_s, vrow_s,
+    total_s, C_s, vrow_s, *extra_s,
     groups: tuple, nb: int, Z: int, Bt: int,
     alpha, beta, max_iters: int, early_term: bool,
-    precision=None,
+    precision=None, schedule: str = "layered",
 ):
+    acc_s = extra_s[0] if schedule == "flooding" else None
     def perm(e, x):
         # one-hot MXU matmul. HIGHEST keeps the full f32 mantissa through
         # the multi-pass decomposition (exact selection — the interpret /
@@ -190,18 +192,92 @@ def _kernel(
             fail = jnp.maximum(fail, anyflip)
         return fail
 
+    def sweep_flooding(frozen, track):
+        """One flooding iteration — the perm-dot twin of
+        decode/pallas/flooding_qc's sweep (count sign semantics, stale
+        totals all iteration, posterior rebuilt into acc and swapped;
+        a frame whose PRE-sweep parity verifies keeps that state)."""
+        acc_s[:] = llr_ref[:].astype(jnp.float32)
+        keep = (frozen > 0.5) if track else None
+        fail = jnp.zeros((1, Bt), jnp.float32)
+        for deg, nrows, off in groups:
+            def layer(li, fail, deg=deg, off=off):
+                base = off + li * deg
+                inf = jnp.full((Z, Bt), jnp.inf, jnp.float32)
+                zero = jnp.zeros((Z, Bt), jnp.float32)
+                min1, min2, negcnt, hardcnt = inf, inf, zero, zero
+                for si in range(deg):
+                    e = ge_be_ref[base + si]
+                    aligned = perm(e, total_s[be_col_ref[e]])
+                    slab = aligned - C_s[e].astype(jnp.float32)
+                    vrow_s[si] = slab
+                    a = jnp.abs(slab)
+                    min2 = jnp.minimum(min2, jnp.maximum(min1, a))
+                    min1 = jnp.minimum(min1, a)
+                    negcnt = negcnt + (slab < 0).astype(jnp.float32)
+                    if track:
+                        hardcnt = hardcnt + (aligned < 0).astype(jnp.float32)
+                if track:
+                    hpar = hardcnt - 2.0 * jnp.floor(hardcnt * 0.5)
+                    fail = jnp.maximum(
+                        fail, jnp.max(hpar, axis=0, keepdims=True)
+                    )
+                par = negcnt - 2.0 * jnp.floor(negcnt * 0.5)
+                sgn_prod = 1.0 - 2.0 * par
+                mag1 = jnp.maximum(
+                    alpha * jnp.minimum(min1, _MAG_CAP) - beta, 0.0
+                )
+                mag2 = jnp.maximum(
+                    alpha * jnp.minimum(min2, _MAG_CAP) - beta, 0.0
+                )
+                for si in range(deg):
+                    e = ge_be_ref[base + si]
+                    col = be_col_ref[e]
+                    v = vrow_s[si]
+                    sv = jnp.where(v < 0, -1.0, 1.0)
+                    mag = jnp.where(jnp.abs(v) == min1, mag2, mag1)
+                    Cnew = (sgn_prod * sv) * mag
+                    if track:
+                        Cnew = jnp.where(keep, C_s[e].astype(jnp.float32),
+                                         Cnew)
+                    Cb = Cnew.astype(C_s.dtype)
+                    acc_s[col] = acc_s[col] + perm(e, Cb.astype(jnp.float32))
+                    C_s[e] = Cb
+                return fail
+            fail = jax.lax.fori_loop(0, nrows, layer, fail)
+        if track:
+            # pre-sweep-verified frames FREEZE the verified state (the
+            # fail parity is of the stale posteriors — twin comment in
+            # decode/xla/flooding_qc.py)
+            keep_end = jnp.logical_or(keep, fail <= 0.5)
+            total_s[:] = jnp.where(keep_end, total_s[:], acc_s[:])
+        else:
+            total_s[:] = acc_s[:]
+        return fail
+
     if early_term:
         done0 = 1.0 - syndrome_fail()
         iters0 = jnp.zeros((1, Bt), jnp.float32)
 
-        def body(carry):
-            done, iters, it = carry
-            # iters counts sweeps APPLIED (incl. the verifying one) —
-            # twin of decode_layered's pre-sweep-done accounting
-            iters = iters + (1.0 - done)
-            fail = sweep(done, True)
-            done = jnp.maximum(done, 1.0 - fail)
-            return done, iters, it + 1
+        if schedule == "flooding":
+            def body(carry):
+                done, iters, it = carry
+                fail = sweep_flooding(done, True)
+                done = jnp.maximum(done, 1.0 - fail)
+                # a frame whose pre-sweep state verified kept that state
+                # (no advance), so the verifying sweep is not counted —
+                # twin of decode_flooding_qc's done_new accounting
+                iters = iters + (1.0 - done)
+                return done, iters, it + 1
+        else:
+            def body(carry):
+                done, iters, it = carry
+                # iters counts sweeps APPLIED (incl. the verifying one) —
+                # twin of decode_layered's pre-sweep-done accounting
+                iters = iters + (1.0 - done)
+                fail = sweep(done, True)
+                done = jnp.maximum(done, 1.0 - fail)
+                return done, iters, it + 1
 
         def cond(carry):
             done, _, it = carry
@@ -211,8 +287,10 @@ def _kernel(
             cond, body, (done0, iters0, jnp.zeros((), jnp.int32))
         )
     else:
+        one = (sweep_flooding if schedule == "flooding"
+               else sweep)
         jax.lax.fori_loop(
-            0, max_iters, lambda _, c: (sweep(None, False), c)[1], 0
+            0, max_iters, lambda _, c: (one(None, False), c)[1], 0
         )
         iters = jnp.full((1, Bt), float(max_iters), jnp.float32)
 
@@ -233,6 +311,7 @@ def make_layered_xor_decoder(
     interpret: Optional[bool] = None,
     msg_dtype=jnp.float32,
     mxu_precision="auto",
+    schedule: str = "layered",
 ):
     """decode(llr [B, n]) -> DecodeResult via the fused xor-perm kernel.
 
@@ -276,10 +355,12 @@ def make_layered_xor_decoder(
             if interpret is not True and jax.default_backend() == "tpu"
             else jax.lax.Precision.HIGHEST
         )
+    if schedule not in ("layered", "flooding"):
+        raise KeyError(f"schedule must be layered/flooding, got {schedule!r}")
     kern = functools.partial(
         _kernel, groups=groups, nb=nb, Z=Z, Bt=batch_tile,
         alpha=float(alpha), beta=float(beta), max_iters=max_iters,
-        early_term=early_term, precision=mxu_precision,
+        early_term=early_term, precision=mxu_precision, schedule=schedule,
     )
     state_bytes = Z * batch_tile * (
         jnp.dtype(msg_dtype).itemsize * BE + 4 * nb * 3
@@ -318,7 +399,10 @@ def make_layered_xor_decoder(
                 pltpu.VMEM((nb, Z, batch_tile), jnp.float32),
                 pltpu.VMEM((BE, Z, batch_tile), msg_dtype),
                 pltpu.VMEM((graph.dcb_max, Z, batch_tile), jnp.float32),
-            ],
+            ] + (
+                [pltpu.VMEM((nb, Z, batch_tile), jnp.float32)]
+                if schedule == "flooding" else []
+            ),
         )
         bits, ok, iters = pl.pallas_call(
             kern,

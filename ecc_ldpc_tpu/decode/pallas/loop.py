@@ -32,6 +32,22 @@ def make_pallas_decoder(
 
         from . import flooding_qc
 
+        if graph.perm == "xor":
+            from . import layered_xor
+
+            if kind != "minsum" or not layered_xor.supports(
+                graph, kind=kind, schedule="flooding"
+            ):
+                raise ValueError(
+                    f"{graph.name}: the xor-perm kernel serves flooding "
+                    f"minsum only — use backend='xla' (static-perm tier) "
+                    f"for {kind!r}"
+                )
+            return layered_xor.make_layered_xor_decoder(
+                graph, alpha=alpha, beta=beta, max_iters=max_iters,
+                early_term=early_term, jit=jit, schedule="flooding", **kw,
+            )
+
         # Gate on the bf16 floor FIRST (ADVICE r2 item 3): supports() with
         # the default 2-byte sizes is the smallest config this kernel can
         # build; if even that exceeds the envelope, fail with the same

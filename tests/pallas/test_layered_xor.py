@@ -98,3 +98,42 @@ def test_rejects_unsupported():
         get_decoder(g, "layered/spa/25", backend="pallas")
     with pytest.raises(ValueError, match="scalar"):
         layered_xor.make_layered_xor_decoder(g, alpha=np.ones(25))
+
+
+@pytest.mark.parametrize("early_term", [True, False])
+def test_flooding_schedule_bit_exact(toy, early_term):
+    """schedule='flooding' twins decode/xla/flooding_qc (count sign
+    semantics, stale totals, pre-sweep-verified freeze)."""
+    from ecc_ldpc_tpu.decode.xla.flooding_qc import decode_flooding_qc
+
+    spec, g = toy
+    key = jax.random.key(13)
+    llr = 2.2 + 2.0 * jax.random.normal(key, (96, spec.n))
+    kdec = layered_xor.make_layered_xor_decoder(
+        g, alpha=0.8125, max_iters=12, early_term=early_term,
+        batch_tile=128, schedule="flooding",
+    )
+    kr = kdec(llr)
+    orr = decode_flooding_qc(g, llr, kind="minsum", alpha=0.8125,
+                             max_iters=12, early_term=early_term)
+    np.testing.assert_array_equal(np.asarray(kr.bits), np.asarray(orr.bits))
+    np.testing.assert_array_equal(np.asarray(kr.ok), np.asarray(orr.ok))
+    np.testing.assert_array_equal(
+        np.asarray(kr.iterations), np.asarray(orr.iterations)
+    )
+
+
+def test_flooding_dispatch_routes_to_kernel(toy):
+    """backend='pallas' + kind='minsum' on an xor graph builds the
+    flooding xor kernel (loop.py routing)."""
+    from ecc_ldpc_tpu.decode import make_decoder
+
+    spec, g = toy
+    dec = make_decoder(g, "minsum", alpha=0.8125, max_iters=6,
+                       backend="pallas")
+    llr = jnp.full((8, spec.n), 15.0)
+    res = dec(llr)
+    assert np.asarray(res.ok).all()
+    assert (np.asarray(res.iterations) == 0).all()
+    with pytest.raises(ValueError, match="flooding minsum"):
+        make_decoder(g, "spa", backend="pallas")
