@@ -76,10 +76,14 @@ def curves_overlap(
 
     Borrowing makes the BER arm strictly looser against legacy curves (a
     genuine regression with heavy bursts inflates the borrowed effect
-    too), so it is capped at _MAX_BORROWED_DESIGN and BER overlap vs a
+    too, widening the very CI that should catch it), so BER overlap vs a
     legacy curve is ADVISORY — the FER arm (no borrowing: frame errors
-    are Bernoulli) is the hard gate, and validate_tail requires both.
-    Curves regenerated with bit_errors_sq never take this path.
+    are Bernoulli) is the hard gate, and validate_tail/the golden gate
+    require it to pass independently. The effect is deliberately NOT
+    capped: measured clustering reaches design effects of ~300 (apsk32
+    at 5.6 dB, two heavy frames dominating sum(w^2)), so any plausible
+    cap either bites legitimate bursts or fails to bind. Curves
+    regenerated with bit_errors_sq never take this path.
     """
     bi = {round(r.ebn0_db, 6): r for r in b}
     shared = [(ra, bi[round(ra.ebn0_db, 6)]) for ra in a if round(ra.ebn0_db, 6) in bi]
@@ -109,15 +113,9 @@ def _borrow_design_effect(ra: PointResult, rb: PointResult):
     src, dst = (ra, rb) if has_a else (rb, ra)
     if dst.bit_errors <= 0:
         return ra, rb
-    design = min(src.bit_errors_sq / src.bit_errors, _MAX_BORROWED_DESIGN)
+    design = src.bit_errors_sq / src.bit_errors
     patched = _dc.replace(dst, bit_errors_sq=design * dst.bit_errors)
     return (ra, patched) if has_a else (patched, rb)
-
-
-# Heaviest measured clustering is ~7x (apsk32 at 5.6 dB); anything beyond
-# 2x that in a NEW run more plausibly signals a regression than honest
-# burst variance, so the borrowed widening stops there.
-_MAX_BORROWED_DESIGN = 16.0
 
 
 def plot_curves(results: Sequence[PointResult], metric: str = "fer",
