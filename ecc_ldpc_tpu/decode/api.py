@@ -390,8 +390,21 @@ def with_retry(primary, fallback, retry_batch: int = 32):
 
     Failed frames are gathered into fixed `retry_batch`-sized buckets so
     the fallback compiles once (a data-dependent batch would recompile
-    per distinct failure count on this platform's remote helper)."""
+    per distinct failure count on this platform's remote helper). Only
+    the per-frame ok flags cross to the host; the bits/iters patching is
+    a jitted on-device row scatter — pulling the full [B, n] bits tensor
+    to the host cost 4.7 s/batch on the tunneled device (66 MB at
+    n=64800) and dominated the measured retry overhead before r5."""
     import numpy as np
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _combine(bits, ok, iters, idx, rbits, rok, riters):
+        # idx may repeat (bucket padding duplicates bad[0]); every
+        # duplicate carries identical retry output, so .set is race-free
+        bits = bits.at[idx].set(rbits)
+        new_iters = iters.at[idx].set(jnp.take(iters, idx) + riters)
+        return bits, ok.at[idx].set(rok), new_iters
 
     def decode(llr):
         res = primary(llr)
@@ -400,22 +413,14 @@ def with_retry(primary, fallback, retry_batch: int = 32):
         if len(bad) == 0:
             return res
         pad = int(np.ceil(len(bad) / retry_batch)) * retry_batch
-        sel = np.concatenate([bad, np.full(pad - len(bad), bad[0])])
-        retry = fallback(jax.numpy.take(llr, jax.numpy.asarray(sel), axis=0))
-        retry = DecodeResult(
-            bits=retry.bits[: len(bad)], ok=retry.ok[: len(bad)],
-            iterations=retry.iterations[: len(bad)],
+        sel = jnp.asarray(np.concatenate([bad, np.full(pad - len(bad),
+                                                       bad[0])]))
+        retry = fallback(jnp.take(llr, sel, axis=0))
+        bits, okj, iters = _combine(
+            res.bits, res.ok, res.iterations, sel,
+            retry.bits, retry.ok, retry.iterations,
         )
-        bits = np.array(res.bits)  # writable copy
-        bits[bad] = np.asarray(retry.bits)
-        ok = ok.copy()
-        ok[bad] = np.asarray(retry.ok)
-        iters = np.asarray(res.iterations).copy()
-        iters[bad] += np.asarray(retry.iterations)
-        return DecodeResult(
-            bits=jax.numpy.asarray(bits), ok=jax.numpy.asarray(ok),
-            iterations=jax.numpy.asarray(iters),
-        )
+        return DecodeResult(bits=bits, ok=okj, iterations=iters)
 
     return decode
 

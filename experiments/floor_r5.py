@@ -32,7 +32,16 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/jax_cache")
 
 CODE = "dvbs2/64800/12"
 BASE = "layered/norm:0.8125/50"
-RETRY = BASE + ";retry=spa/50"
+# Fallback choice (r5 finding): flooding spa/50 clears the tail but its
+# XLA roll tier is OVERHEAD-BOUND on small retry buckets (~8 s per
+# 32-frame bucket of tiny [360, 32] tensors — measured 45-63 s per 8k
+# frames at 1.35-1.5 dB, a 40-60x amortized cost when ~every batch has a
+# not-proven frame). layered/spa/50 is served by the Pallas layered
+# kernel (431 Mbit/s on this code), clears the stored trapping batch in
+# 11-12 iterations, and makes retry's amortized cost negligible — the
+# production recommendation.
+RETRY = BASE + ";retry=layered/spa/50"
+RETRY_SLOW = BASE + ";retry=spa/50"  # measured for the artifact
 FLOOR_PATH = "docs/FLOOR_dvbs2_64800_12.json"
 BATCH_PATH = "tests/data/trap_batch_dvbs2_64800_12.npz"
 
@@ -76,8 +85,12 @@ def timed_arm(ebn0, batch=1024, nbatches=8, tries=3):
             fe += int(np.sum(~np.asarray(dec(llr).ok)))
         return fe
 
+    _, retry_slow_dec = _build(RETRY_SLOW)
     out = {"ebn0_db": ebn0, "batch": batch, "frames": batch * nbatches}
-    for name, dec in (("base", base_dec), ("retry", retry_dec)):
+    arms = [("base", base_dec), ("retry", retry_dec)]
+    if ebn0 < 2.0:  # the overhead-bound fallback, timed where it fires
+        arms.append(("retry_flooding_spa", retry_slow_dec))
+    for name, dec in arms:
         run(dec)  # warm (compiles both sub-decoders)
         walls = []
         for _ in range(tries):
@@ -152,6 +165,8 @@ def harvest_batch(ebn0=1.35, want=8, max_frames=1 << 19, batch=2048,
     """Collect primary failures that REPRODUCE on the XLA f32 tier (the
     tier the CPU regression test runs), verify spa/50 clears them, and
     store llr/cw rows."""
+    if os.path.exists(BATCH_PATH):
+        return dict(skipped="batch already harvested", path=BATCH_PATH)
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -226,6 +241,11 @@ def main() -> int:
     r5["failure_batch"] = hb
 
     # 2. deep scan with the remedy on
+    def flush():
+        with open(FLOOR_PATH, "w") as f:
+            json.dump(out, f, indent=1)
+
+    flush()  # timing + harvest land even if a deep point is cut short
     budgets = [(1.9, 4_194_304), (2.0, 2_097_152)]
     if quick:
         budgets = [(1.9, 8_192)]
@@ -234,9 +254,7 @@ def main() -> int:
         row = deep_retry_point(ebn0, mf)
         print("deep_retry:", json.dumps(row), flush=True)
         r5["deep_retry"].append(row)
-
-    with open(FLOOR_PATH, "w") as f:
-        json.dump(out, f, indent=1)
+        flush()
     print("wrote", FLOOR_PATH)
     return 0
 

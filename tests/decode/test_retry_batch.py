@@ -27,7 +27,10 @@ pytestmark = pytest.mark.skipif(
 @pytest.fixture(scope="module")
 def batch():
     d = np.load(_PATH)
-    return d["llr"].astype(np.float32), d["cw"].astype(np.uint8)
+    # 4 of the 8 stored frames: spa/50 on n=64800 costs ~45 s/frame on
+    # the CPU tier, and 4 recovered trapping frames pin the contract as
+    # well as 8 (the full batch is exercised on device by floor_r5.py)
+    return d["llr"][:4].astype(np.float32), d["cw"][:4].astype(np.uint8)
 
 
 def test_primary_still_fails_and_retry_recovers(batch):
